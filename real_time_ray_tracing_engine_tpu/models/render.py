@@ -1,0 +1,189 @@
+"""Render drivers: batch (static) and progressive accumulation.
+
+Replaces the reference StaticCamera (StaticCamera.cpp:25-131 scanline loop,
+one ThreadPool job per pixel) and the progressive accumulation core of
+DynamicCamera (DynamicCamera.cpp:105-175: one stratum (s_i, s_j) per frame
+until sqrt_spp^2 samples taken). Here the image is rendered in jit-compiled
+row-tile passes: rays for a whole tile are traced as one wavefront batch, and
+samples accumulate either inside one jit scan (batch render) or one stratum
+per `step()` (progressive), with the accumulation buffer + sample counter as
+the resumable checkpoint state.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..scene.schema import CameraConfig, Scene
+from ..scene.flat import FlatScene
+from ..scene.compile import compile_scene
+from ..utils import rng
+from ..ops.integrator import trace
+from . import camera as cam_mod
+
+
+def default_tile_rows(width: int, height: int, n_prims: int) -> int:
+    """Bound the (rays x prims) intersection table to ~32M entries."""
+    budget = 32 * 1024 * 1024
+    rows = max(1, budget // max(1, width * max(n_prims, 1)))
+    return int(min(rows, height))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile_rows",
+                                   "n_strata", "max_depth", "sky_gradient",
+                                   "n_samples"))
+def _render_pass(scene: FlatScene, cam: cam_mod.CameraState, seed,
+                 sample_start, *, width: int, height: int, tile_rows: int,
+                 n_strata: int, max_depth: int, sky_gradient: bool,
+                 n_samples: int):
+    """Sum of `n_samples` consecutive stratified samples for the full image.
+
+    Returns (height, width, 3) radiance sum (not averaged).
+    """
+    n_tiles = -(-height // tile_rows)
+    base = jax.random.key(seed)
+
+    def tile_fn(tile_idx):
+        rows = tile_idx * tile_rows + jnp.arange(tile_rows)
+        pix = (rows[:, None] * width + jnp.arange(width)[None, :]).reshape(-1)
+        # rows beyond the image render pixel 0's rays and are cropped later
+        pixc = jnp.minimum(pix, width * height - 1)
+
+        def sample_body(acc, k):
+            s = sample_start + k
+            keys = rng.ray_keys(base, pixc, jnp.broadcast_to(s, pixc.shape))
+            org, dr, tm = cam_mod.generate_rays(cam, width, pixc, s,
+                                                n_strata, keys)
+            rad = trace(scene, org, dr, tm, keys, cam.background,
+                        max_depth=max_depth, sky_gradient=sky_gradient)
+            return acc + rad, None
+
+        acc0 = jnp.zeros((tile_rows * width, 3), jnp.float32)
+        acc, _ = jax.lax.scan(sample_body, acc0, jnp.arange(n_samples))
+        return acc.reshape(tile_rows, width, 3)
+
+    tiles = jax.lax.map(tile_fn, jnp.arange(n_tiles))
+    img = tiles.reshape(n_tiles * tile_rows, width, 3)
+    return img[:height]
+
+
+def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
+           seed: int = 0, use_bvh: bool = False, tile_rows: int | None = None,
+           samples_per_batch: int = 4, spp: int | None = None,
+           progress=None) -> jnp.ndarray:
+    """Render a full image; returns (H, W, 3) linear float32.
+
+    Accepts either a schema Scene (compiled here) or a prebuilt FlatScene +
+    explicit CameraConfig.
+    """
+    if isinstance(scene, Scene):
+        cfg = cfg or scene.camera
+        flat = compile_scene(scene, use_bvh=use_bvh)
+    else:
+        assert cfg is not None, "FlatScene input needs an explicit CameraConfig"
+        flat = scene
+
+    width, height = cam_mod.image_size(cfg)
+    n_strata = cam_mod.sqrt_spp(
+        cfg if spp is None else
+        CameraConfig(**{**cfg.__dict__, "samples_per_pixel": spp}))
+    total = n_strata * n_strata
+    cam = cam_mod.derive(cfg)
+    tr = tile_rows or default_tile_rows(width, height, flat.n_prims)
+
+    acc = jnp.zeros((height, width, 3), jnp.float32)
+    s = 0
+    while s < total:
+        k = min(samples_per_batch, total - s)
+        acc = acc + _render_pass(
+            flat, cam, seed, s, width=width, height=height, tile_rows=tr,
+            n_strata=n_strata, max_depth=cfg.max_depth,
+            sky_gradient=cfg.sky_gradient, n_samples=k)
+        s += k
+        if progress is not None:
+            progress(s, total)
+    return acc / total
+
+
+class ProgressiveRenderer:
+    """Progressive accumulation with camera motion and checkpointing.
+
+    Mirrors DynamicCamera's loop state: accumulation buffer + samples_taken,
+    one stratum per step (DynamicCamera.cpp:105-175), reset on camera move
+    (:271-277). The (buffer, counter, seed) triple is the checkpoint — unlike
+    the reference, whose progressive state dies with the process, `save`/`load`
+    make re-renders resumable (SURVEY.md §5 checkpoint/resume).
+    """
+
+    def __init__(self, scene: Scene, *, use_bvh: bool = False, seed: int = 0,
+                 tile_rows: int | None = None):
+        self.scene_schema = scene
+        self.cfg = scene.camera
+        self.flat = compile_scene(scene, use_bvh=use_bvh)
+        self.seed = seed
+        self.width, self.height = cam_mod.image_size(self.cfg)
+        self.n_strata = cam_mod.sqrt_spp(self.cfg)
+        self.tile_rows = tile_rows or default_tile_rows(
+            self.width, self.height, self.flat.n_prims)
+        self.cam = cam_mod.derive(self.cfg)
+        self.reset()
+
+    # ------------------------------------------------------------ state
+    def reset(self):
+        self.acc = jnp.zeros((self.height, self.width, 3), jnp.float32)
+        self.samples_taken = 0
+
+    @property
+    def converged(self) -> bool:
+        return self.samples_taken >= self.n_strata * self.n_strata
+
+    def step(self) -> bool:
+        """Accumulate one stratum; returns True if work was done."""
+        if self.converged:
+            return False
+        self.acc = self.acc + _render_pass(
+            self.flat, self.cam, self.seed, self.samples_taken,
+            width=self.width, height=self.height, tile_rows=self.tile_rows,
+            n_strata=self.n_strata, max_depth=self.cfg.max_depth,
+            sky_gradient=self.cfg.sky_gradient, n_samples=1)
+        self.samples_taken += 1
+        return True
+
+    def image(self) -> jnp.ndarray:
+        return self.acc / max(1, self.samples_taken)
+
+    # ----------------------------------------------------- camera motion
+    def move_camera(self, delta):
+        """Translate lookfrom/lookat (DynamicCamera WASD handling,
+        DynamicCamera.cpp:204-278) and reset accumulation."""
+        d = tuple(float(x) for x in delta)
+        c = self.cfg
+        self.cfg = CameraConfig(**{
+            **c.__dict__,
+            "lookfrom": tuple(a + b for a, b in zip(c.lookfrom, d)),
+            "lookat": tuple(a + b for a, b in zip(c.lookat, d))})
+        self.cam = cam_mod.derive(self.cfg)
+        self.reset()
+
+    def set_spp(self, spp: int):
+        """+/- samples control (DynamicCamera.cpp:239-252)."""
+        self.cfg = CameraConfig(**{**self.cfg.__dict__,
+                                   "samples_per_pixel": spp})
+        self.n_strata = cam_mod.sqrt_spp(self.cfg)
+        self.reset()
+
+    # ------------------------------------------------------- checkpoint
+    def save(self, path: str):
+        np.savez(path, acc=np.asarray(self.acc),
+                 samples_taken=self.samples_taken, seed=self.seed,
+                 n_strata=self.n_strata)
+
+    def load(self, path: str):
+        d = np.load(path)
+        assert int(d["n_strata"]) == self.n_strata, "spp mismatch"
+        self.acc = jnp.asarray(d["acc"])
+        self.samples_taken = int(d["samples_taken"])
+        self.seed = int(d["seed"])

@@ -1,0 +1,99 @@
+"""MIS light sampling: HittablePDF over the scene's light list.
+
+Replaces the reference's HittablePDF (PDF.hpp:86-124) delegating to
+Sphere::pdf_value/random (Sphere.cpp:145-188, solid-angle cone math) and
+Plane::pdf_value/random (Plane.cpp:115-133, area sampling). Light primitives
+are rows of the unified prim tables referenced by scene.light_prim; the
+`active` world mask is deliberately ignored — lights are sampling targets, not
+occluders (the world copy of the same geometry handles occlusion).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.vecmath import edot, dot, normalize, onb_from_w, onb_local, T_MIN, BIG
+from ..scene.flat import FlatScene
+from .intersect import sphere_ts, quad_ts
+
+
+def _gather_light(scene: FlatScene, l):
+    """Split light prim ids (L,) into sphere/quad gathered params."""
+    S = scene.sph_center.shape[0]
+    prim = scene.light_prim[l]
+    is_sph = prim < S
+    si = jnp.clip(prim, 0, S - 1)
+    qi = jnp.clip(prim - S, 0, scene.quad_corner.shape[0] - 1)
+    return prim, is_sph, si, qi
+
+
+def light_pdf_values(scene: FlatScene, org, dr, tm):
+    """Solid-angle pdf of sampling direction dr from org toward each light.
+
+    org/dr: (N, 3), dr unit. Returns (N, L).
+    """
+    L = scene.light_prim.shape[0]
+    _, is_sph, si, qi = _gather_light(scene, jnp.arange(L))
+
+    # ---- sphere lights: hit test then 1/solid-angle (Sphere.cpp:145-158)
+    ts = sphere_ts(scene.sph_center[si], scene.sph_cdelta[si],
+                   scene.sph_radius[si], jnp.ones_like(is_sph), org, dr, tm,
+                   T_MIN, BIG)                              # (N, L)
+    c_t = (scene.sph_center[si][None, :, :]
+           + tm[:, None, None] * scene.sph_cdelta[si][None, :, :])
+    dist2 = jnp.sum((c_t - org[:, None, :]) ** 2, axis=-1)  # (N, L)
+    r = scene.sph_radius[si][None, :]
+    ratio = jnp.clip(1.0 - r * r / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+    cos_max = jnp.sqrt(ratio)
+    solid = 2.0 * jnp.pi * (1.0 - cos_max)
+    pdf_s = jnp.where(ts < BIG * 0.5, 1.0 / jnp.maximum(solid, 1e-12), 0.0)
+
+    # ---- quad lights: hit test then dist^2/(cos*area) (Plane.cpp:115-126)
+    tq = quad_ts(scene.quad_corner[qi], scene.quad_u[qi], scene.quad_v[qi],
+                 scene.quad_normal[qi], scene.quad_d[qi], scene.quad_w[qi],
+                 jnp.ones_like(is_sph), org, dr, T_MIN, BIG)  # (N, L)
+    cosine = jnp.abs(edot("nd,ld->nl", dr, scene.quad_normal[qi]))
+    # dr unit => distance = t, distance^2 = t^2
+    pdf_q = jnp.where(
+        tq < BIG * 0.5,
+        tq * tq / jnp.maximum(cosine * scene.quad_area[qi][None, :], 1e-12),
+        0.0)
+
+    pdf = jnp.where(is_sph[None, :], pdf_s, pdf_q)
+    return jnp.where(scene.light_active[None, :], pdf, 0.0)
+
+
+def light_pdf_value(scene: FlatScene, org, dr, tm):
+    """Uniform-average mixture over lights (HittableList::pdf_value
+    HittableList.cpp:44-56). Returns (N,)."""
+    pdfs = light_pdf_values(scene, org, dr, tm)
+    n = max(scene.n_lights, 1)
+    return jnp.sum(pdfs, axis=1) / n
+
+
+def light_sample(scene: FlatScene, org, tm, u_sel, u1, u2):
+    """Sample a direction toward a uniformly chosen light
+    (HittableList::random HittableList.cpp:58-64). Returns unit (N, 3)."""
+    n = max(scene.n_lights, 1)
+    l = jnp.clip((u_sel * n).astype(jnp.int32), 0, n - 1)
+    _, is_sph, si, qi = _gather_light(scene, l)
+
+    # sphere: cone sampling via ONB toward center (Sphere.cpp:160-188)
+    c_t = scene.sph_center[si] + tm[:, None] * scene.sph_cdelta[si]
+    to_c = c_t - org
+    dist2 = jnp.maximum(jnp.sum(to_c * to_c, axis=-1), 1e-12)
+    r = scene.sph_radius[si]
+    ratio = jnp.clip(1.0 - r * r / dist2, 0.0, 1.0)
+    z = 1.0 + u2 * (jnp.sqrt(ratio) - 1.0)
+    phi = 2.0 * jnp.pi * u1
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    local = jnp.stack([jnp.cos(phi) * s, jnp.sin(phi) * s, z], axis=-1)
+    bu, bv, bw = onb_from_w(to_c)
+    dir_s = onb_local(bu, bv, bw, local)
+
+    # quad: uniform area point (Plane.cpp:128-133)
+    pt = (scene.quad_corner[qi] + u1[:, None] * scene.quad_u[qi]
+          + u2[:, None] * scene.quad_v[qi])
+    dir_q = pt - org
+
+    d = jnp.where(is_sph[:, None], dir_s, dir_q)
+    return normalize(d)
