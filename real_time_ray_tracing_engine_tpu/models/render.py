@@ -44,7 +44,6 @@ def _render_pass(scene: FlatScene, cam: cam_mod.CameraState, seed,
     Returns (height, width, 3) radiance sum (not averaged).
     """
     n_tiles = -(-height // tile_rows)
-    base = jax.random.key(seed)
 
     def tile_fn(tile_idx):
         rows = tile_idx * tile_rows + jnp.arange(tile_rows)
@@ -54,7 +53,7 @@ def _render_pass(scene: FlatScene, cam: cam_mod.CameraState, seed,
 
         def sample_body(acc, k):
             s = sample_start + k
-            keys = rng.ray_keys(base, pixc, jnp.broadcast_to(s, pixc.shape))
+            keys = rng.ray_keys(seed, pixc, jnp.broadcast_to(s, pixc.shape))
             org, dr, tm = cam_mod.generate_rays(cam, width, pixc, s,
                                                 n_strata, keys)
             rad = trace(scene, org, dr, tm, keys, cam.background,

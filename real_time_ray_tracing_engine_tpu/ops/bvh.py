@@ -91,9 +91,55 @@ def _sah_split(ids, bb_min, bb_max, centroids):
     return None
 
 
+def _build_native(bb_min, bb_max, active):
+    """SAH build via the C++ library (native/bvh_builder.cpp); None if the
+    shared library is not built."""
+    from ..native import load_bvh_lib
+    import ctypes
+    lib = load_bvh_lib()
+    if lib is None:
+        return None
+    n = bb_min.shape[0]
+    max_nodes = max(2 * n + 1, 8)
+    node_min = np.zeros((max_nodes, 3), np.float32)
+    node_max = np.zeros((max_nodes, 3), np.float32)
+    left = np.zeros(max_nodes, np.int32)
+    right = np.zeros(max_nodes, np.int32)
+    axis = np.zeros(max_nodes, np.int32)
+    leaf = np.zeros(max_nodes, np.uint8)
+    prims = np.zeros(max(n, 1), np.int32)
+    n_prims_out = ctypes.c_int32(0)
+    n_nodes = lib.rtx_build_bvh(
+        np.ascontiguousarray(bb_min, np.float32),
+        np.ascontiguousarray(bb_max, np.float32),
+        np.ascontiguousarray(active, np.uint8), n,
+        node_min, node_max, left, right, axis, leaf, prims,
+        ctypes.byref(n_prims_out), max_nodes)
+    if n_nodes < 0:
+        return None
+    k = int(n_nodes)
+    order = prims[:max(int(n_prims_out.value), 1)]
+    return (node_min[:k], node_max[:k], left[:k], right[:k], axis[:k],
+            leaf[:k].astype(bool), order)
+
+
 def build_bvh(scene: FlatScene) -> FlatScene:
-    """Build the flat BVH over active prims; returns scene with use_bvh=True."""
+    """Build the flat BVH over active prims; returns scene with use_bvh=True.
+
+    Prefers the native C++ builder; falls back to the numpy implementation
+    below (same SAH constants and semantics)."""
     bb_min, bb_max, active = _prim_bboxes(scene)
+
+    nat = _build_native(bb_min.astype(np.float32), bb_max.astype(np.float32),
+                        active)
+    if nat is not None:
+        n_min, n_max, left, right, axis, leaf, prims = nat
+        return scene.replace(
+            bvh_bbox_min=jnp.asarray(n_min), bvh_bbox_max=jnp.asarray(n_max),
+            bvh_left=jnp.asarray(left), bvh_right=jnp.asarray(right),
+            bvh_axis=jnp.asarray(axis), bvh_leaf=jnp.asarray(leaf),
+            bvh_prims=jnp.asarray(prims), use_bvh=True)
+
     centroids = 0.5 * (bb_min + bb_max)
     all_ids = np.nonzero(active)[0].astype(np.int64)
 

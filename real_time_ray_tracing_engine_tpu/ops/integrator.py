@@ -53,7 +53,9 @@ def _resolve_hit(scene: FlatScene, org, dr, tm, u_med):
     t_surf = jnp.where(rec.hit, rec.t, BIG)
     t_med, med_mat, med_valid = medium_scatter(scene, org, dr, tm, t_surf,
                                                u_med)
-    point_m = org + t_med[:, None] * dr
+    # t_med is BIG where no medium scatters; keep the masked lane finite
+    t_med_safe = jnp.where(med_valid, t_med, 1.0)
+    point_m = org + t_med_safe[:, None] * dr
     arb_n = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dr.dtype),
                              dr.shape)
     return rec.replace(
@@ -81,12 +83,17 @@ def trace(scene: FlatScene, org, dr, tm, keys, background, *,
     dtype = org.dtype
     has_lights = scene.n_lights > 0
 
+    # Initial carries are derived from `org` and `tm` (not fresh constants) so
+    # that under shard_map they carry the same varying-mesh-axes type as the
+    # loop body's outputs — fori_loop rejects unvarying-init/varying-out
+    # carries. tm folds in the sample-axis dependence (via the RNG keys).
+    zeros3 = org * 0.0 + tm[:, None] * 0.0
     state = dict(
         org=org,
         dr=normalize(dr),
-        throughput=jnp.ones((n, 3), dtype),
-        radiance=jnp.zeros((n, 3), dtype),
-        alive=jnp.ones((n,), bool),
+        throughput=zeros3 + 1.0,
+        radiance=zeros3,
+        alive=zeros3[:, 0] == 0.0,
     )
 
     def body(bounce, st):

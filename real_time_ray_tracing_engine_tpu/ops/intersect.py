@@ -11,10 +11,11 @@ Shapes: rays are (N, 3) batches; per-primitive results are (N, P).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.struct
 
-from ..utils.vecmath import edot, dot, cross, normalize, T_MIN, BIG
+from ..utils.vecmath import edot, dot, cross, normalize, safe_sqrt, T_MIN, BIG
 from ..scene.flat import FlatScene
 
 
@@ -46,7 +47,7 @@ def sphere_ts(center, cdelta, radius, active, org, dr, tm, t_min=T_MIN,
     c = dot(oc, oc) - (radius * radius)[None, :]
     disc = h * h - a * c
     ok = (disc > 0.0) & active[None, :] & (radius > 0.0)[None, :]
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = safe_sqrt(disc)
     r0 = (h - sq) / a
     r1 = (h + sq) / a
     in0 = (r0 > t_min) & (r0 < t_max)
@@ -68,7 +69,7 @@ def sphere_both_ts(center, radius, org, dr, tm, cdelta=None):
     c = dot(oc, oc) - (radius * radius)[None, :]
     disc = h * h - a * c
     ok = (disc > 0.0) & (radius > 0.0)[None, :]
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = safe_sqrt(disc)
     return (jnp.where(ok, (h - sq) / a, BIG),
             jnp.where(ok, (h + sq) / a, BIG))
 
@@ -80,9 +81,13 @@ def sphere_shade(center, cdelta, radius, org, dr, tm, t):
     outward = (p - c_t) / jnp.maximum(radius, 1e-12)[:, None]
     front = dot(dr, outward) < 0.0
     n = jnp.where(front[:, None], outward, -outward)
-    # spherical UV on the outward normal (Sphere.cpp:136-141)
-    theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0, 1.0))
-    phi = jnp.arctan2(-outward[:, 2], outward[:, 0]) + jnp.pi
+    # spherical UV on the outward normal (Sphere.cpp:136-141). UVs feed only
+    # texture lookups (which are spatial in p here), and arccos/arctan2 have
+    # unbounded gradients at the poles that would NaN-poison masked lanes —
+    # detach them from the autodiff graph.
+    ow = jax.lax.stop_gradient(outward)
+    theta = jnp.arccos(jnp.clip(-ow[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(-ow[:, 2], ow[:, 0]) + jnp.pi
     return p, n, front, phi / (2.0 * jnp.pi), theta / jnp.pi
 
 
@@ -204,7 +209,9 @@ def medium_scatter(scene: FlatScene, org, dr, tm, t_surf, u_med,
     t2 = jnp.minimum(exit_, t_surf[:, None])
     span_ok = crossed & (t1 < t2) & scene.med_active[None, :]
 
-    dist_inside = (t2 - t1) * raylen[:, None]
+    # double-where: t2 is BIG in non-crossing lanes; keep fwd/bwd finite
+    t2_safe = jnp.where(span_ok, t2, t1 + 1.0)
+    dist_inside = (t2_safe - t1) * raylen[:, None]
     hit_dist = scene.med_neg_inv_density[None, :] * jnp.log(
         jnp.maximum(u_med, 1e-12))
     scatters = span_ok & (hit_dist < dist_inside)

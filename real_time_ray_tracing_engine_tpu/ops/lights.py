@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.vecmath import edot, dot, normalize, onb_from_w, onb_local, T_MIN, BIG
+from ..utils.vecmath import edot, dot, normalize, onb_from_w, onb_local, safe_sqrt, T_MIN, BIG
 from ..scene.flat import FlatScene
 from .intersect import sphere_ts, quad_ts
 
@@ -43,19 +43,27 @@ def light_pdf_values(scene: FlatScene, org, dr, tm):
     dist2 = jnp.sum((c_t - org[:, None, :]) ** 2, axis=-1)  # (N, L)
     r = scene.sph_radius[si][None, :]
     ratio = jnp.clip(1.0 - r * r / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
-    cos_max = jnp.sqrt(ratio)
+    cos_max = safe_sqrt(ratio)
     solid = 2.0 * jnp.pi * (1.0 - cos_max)
-    pdf_s = jnp.where(ts < BIG * 0.5, 1.0 / jnp.maximum(solid, 1e-12), 0.0)
+    hit_s = ts < BIG * 0.5
+    # double-where: the masked branch must stay finite in fwd AND bwd
+    solid_safe = jnp.where(hit_s, jnp.maximum(solid, 1e-12), 1.0)
+    pdf_s = jnp.where(hit_s, 1.0 / solid_safe, 0.0)
 
     # ---- quad lights: hit test then dist^2/(cos*area) (Plane.cpp:115-126)
     tq = quad_ts(scene.quad_corner[qi], scene.quad_u[qi], scene.quad_v[qi],
                  scene.quad_normal[qi], scene.quad_d[qi], scene.quad_w[qi],
                  jnp.ones_like(is_sph), org, dr, T_MIN, BIG)  # (N, L)
     cosine = jnp.abs(edot("nd,ld->nl", dr, scene.quad_normal[qi]))
-    # dr unit => distance = t, distance^2 = t^2
+    # dr unit => distance = t, distance^2 = t^2. Double-where: tq is BIG
+    # (1e30) in missed lanes, and BIG^2 overflows fp32 to inf, which turns
+    # the backward pass into NaN even though the forward value is masked.
+    hit_q = tq < BIG * 0.5
+    tq_safe = jnp.where(hit_q, tq, 1.0)
     pdf_q = jnp.where(
-        tq < BIG * 0.5,
-        tq * tq / jnp.maximum(cosine * scene.quad_area[qi][None, :], 1e-12),
+        hit_q,
+        tq_safe * tq_safe
+        / jnp.maximum(cosine * scene.quad_area[qi][None, :], 1e-12),
         0.0)
 
     pdf = jnp.where(is_sph[None, :], pdf_s, pdf_q)
@@ -83,9 +91,9 @@ def light_sample(scene: FlatScene, org, tm, u_sel, u1, u2):
     dist2 = jnp.maximum(jnp.sum(to_c * to_c, axis=-1), 1e-12)
     r = scene.sph_radius[si]
     ratio = jnp.clip(1.0 - r * r / dist2, 0.0, 1.0)
-    z = 1.0 + u2 * (jnp.sqrt(ratio) - 1.0)
+    z = 1.0 + u2 * (safe_sqrt(ratio) - 1.0)
     phi = 2.0 * jnp.pi * u1
-    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    s = safe_sqrt(1.0 - z * z)
     local = jnp.stack([jnp.cos(phi) * s, jnp.sin(phi) * s, z], axis=-1)
     bu, bv, bw = onb_from_w(to_c)
     dir_s = onb_local(bu, bv, bw, local)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.struct
 
 from ..utils.vecmath import (dot, normalize, reflect, refract, onb_from_w,
-                             onb_local, where3)
+                             onb_local, safe_sqrt, where3)
 from ..utils.rng import unit_vector_from_uv, cosine_direction_from_uv
 from ..scene.flat import (FlatScene, MAT_LAMBERTIAN, MAT_METAL,
                           MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC)
@@ -75,7 +75,7 @@ def scatter(scene: FlatScene, mat, in_dir, normal, front_face, u, v, p,
     ior = scene.mat_ior[mat]
     ri = jnp.where(front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(dot(-in_dir, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
     cannot = ri * sin_theta > 1.0
     do_reflect = cannot | (_schlick(cos_theta, ri) > u_refl)
     diel_dir = where3(do_reflect, normalize(reflect(in_dir, normal)),

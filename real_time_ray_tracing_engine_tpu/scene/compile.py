@@ -28,19 +28,33 @@ MAX_MED_QUADS = 6
 
 
 class _Tables:
+    """Dedup is by *content* (row value), not Python object identity as in
+    the reference's pointer-keyed converter maps (MaterialConverter.cuh:26):
+    JSON scenes cannot express object sharing, and content dedup makes
+    in-memory and round-tripped scenes compile to identical tables."""
+
     def __init__(self):
         self.tex_rows = []      # dicts
         self.mat_rows = []
-        self.tex_ids = {}       # id(obj) -> index
-        self.mat_ids = {}
+        # NOTE: no id()-keyed fast path — temporaries (e.g. the SolidColor
+        # wrapped around a Metal albedo) die between add_* calls and CPython
+        # reuses their addresses, which silently merges distinct materials.
+        self.tex_keys = {}      # content key -> index
+        self.mat_keys = {}
         self.spheres = []       # dicts
         self.quads = []
         self.mediums = []
 
+    def _intern(self, row, rows, keys) -> int:
+        key = json.dumps(row, sort_keys=True)
+        if key in keys:
+            return keys[key]
+        rows.append(row)
+        keys[key] = len(rows) - 1
+        return keys[key]
+
     # -------------------------------------------------------- textures
     def add_texture(self, t) -> int:
-        if id(t) in self.tex_ids:
-            return self.tex_ids[id(t)]
         if isinstance(t, S.SolidColor):
             row = dict(type=TEX_SOLID, color=tuple(t.albedo), scale=1.0,
                        even=0, odd=0)
@@ -54,15 +68,10 @@ class _Tables:
                        even=even, odd=odd)
         else:
             raise TypeError(f"unknown texture {t!r}")
-        self.tex_rows.append(row)
-        idx = len(self.tex_rows) - 1
-        self.tex_ids[id(t)] = idx
-        return idx
+        return self._intern(row, self.tex_rows, self.tex_keys)
 
     # -------------------------------------------------------- materials
     def add_material(self, m) -> int:
-        if id(m) in self.mat_ids:
-            return self.mat_ids[id(m)]
         if isinstance(m, S.Lambertian):
             row = dict(type=MAT_LAMBERTIAN, tex=self.add_texture(m.texture),
                        fuzz=0.0, ior=1.0)
@@ -81,10 +90,7 @@ class _Tables:
                        fuzz=0.0, ior=1.0)
         else:
             raise TypeError(f"unknown material {m!r}")
-        self.mat_rows.append(row)
-        idx = len(self.mat_rows) - 1
-        self.mat_ids[id(m)] = idx
-        return idx
+        return self._intern(row, self.mat_rows, self.mat_keys)
 
 
 def _rot_y(deg: float) -> np.ndarray:

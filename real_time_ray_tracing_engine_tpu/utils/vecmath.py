@@ -36,6 +36,17 @@ def cross(a, b):
     return jnp.cross(a, b)
 
 
+def safe_sqrt(x, eps=1e-12):
+    """sqrt with a finite gradient at 0.
+
+    sqrt(max(x, 0)) has an infinite derivative at x=0, and masked-out lanes
+    (jnp.where) still evaluate the backward pass — inf * 0 = NaN poisons
+    every gradient in the batch. All sqrt on possibly-nonpositive values in
+    differentiated code must use this.
+    """
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def length_squared(a):
     return jnp.sum(a * a, axis=-1)
 
@@ -64,7 +75,7 @@ def refract(uv, n, etai_over_etat):
     cos_theta = jnp.minimum(dot(-uv, n), 1.0)
     r_out_perp = etai_over_etat[..., None] * (uv + cos_theta[..., None] * n)
     r_out_parallel = (
-        -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
+        -safe_sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))[..., None] * n
     )
     return r_out_perp + r_out_parallel
 

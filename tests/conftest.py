@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is XLA-compile-bound (big scan
+# bodies, shard_map variants, grad graphs); caching across runs cuts repeat
+# wall time from ~15 min to ~2 min.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_rtx_test_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 import numpy as np  # noqa: E402

@@ -1,0 +1,97 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import real_time_ray_tracing_engine_tpu as rt
+from real_time_ray_tracing_engine_tpu.scene.compile import compile_scene
+from real_time_ray_tracing_engine_tpu.parallel.mesh import (
+    make_render_mesh, render_on_mesh, render_sharded)
+from real_time_ray_tracing_engine_tpu.parallel import train
+from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    s = rt.builders.cornell_box()
+    s.camera.image_width = 32
+    s.camera.max_depth = 4
+    # 16 spp = 4x4 strata: divisible by every sample-axis size tested below,
+    # so no shape pads the sample count
+    s.camera.samples_per_pixel = 16
+    return s
+
+
+def test_mesh_shapes():
+    m = make_render_mesh()
+    assert m.shape["tile"] * m.shape["sample"] == len(jax.devices())
+    m2 = make_render_mesh(n_tile=8, n_sample=1)
+    assert m2.shape["tile"] == 8
+
+
+def test_sharded_render_matches_single_device(small_scene):
+    """Mesh-layout invariance: an 8-device (4x2) render must equal the
+    single-device render bit-for-bit-ish (same counter RNG per pixel/sample)."""
+    ref = np.asarray(rt.render(small_scene, spp=16))
+    for shape in [(4, 2), (1, 8)]:  # row-sharded+sample-sharded, all-sample
+        mesh = make_render_mesh(n_tile=shape[0], n_sample=shape[1])
+        img = np.asarray(render_on_mesh(small_scene, mesh=mesh))
+        # XLA fuses the per-shape programs differently; a 1-ulp t difference
+        # can flip a visibility edge on isolated pixels. Require pointwise
+        # agreement except for a <=0.5% tail of edge pixels.
+        diff = np.abs(img - ref).max(axis=-1)
+        frac_bad = float((diff > 1e-4).mean())
+        assert frac_bad <= 0.005, (shape, frac_bad, diff.max())
+
+
+def test_sharded_output_actually_sharded(small_scene):
+    mesh = make_render_mesh(n_tile=4, n_sample=2)
+    flat = compile_scene(small_scene)
+    cam = cam_mod.derive(small_scene.camera)
+    img = render_sharded(flat, cam, 0, mesh=mesh, width=32, height=32,
+                         n_strata=2, max_depth=2, sky_gradient=False)
+    # output sharding spans the tile axis
+    assert img.shape == (32, 32, 3)
+    assert len(img.sharding.device_set) == 8
+
+
+def test_gradients_flow_to_scene_params(small_scene):
+    mesh = make_render_mesh(n_tile=8, n_sample=1)
+    flat = compile_scene(small_scene)
+    cam = cam_mod.derive(small_scene.camera)
+    target = jnp.zeros((32, 32, 3))
+    loss, grads = train.render_loss_grad(
+        flat, cam, 0, target, mesh=mesh, width=32, height=32, n_strata=1,
+        max_depth=3)
+    assert float(loss) > 0
+    g_alb = np.asarray(grads["tex_color"])
+    assert np.isfinite(g_alb).all()
+    # albedo gradients of the wall textures must be nonzero
+    assert np.abs(g_alb).sum() > 0
+    assert np.isfinite(np.asarray(grads["sph_center"])).all()
+    assert np.isfinite(np.asarray(grads["mat_ior"])).all()
+
+
+def test_train_step_reduces_loss(small_scene):
+    """A few SGD steps on albedo should reduce L2 against a darker target."""
+    mesh = make_render_mesh(n_tile=8, n_sample=1)
+    flat = compile_scene(small_scene)
+    cam = cam_mod.derive(small_scene.camera)
+    img0 = render_sharded(flat, cam, 0, mesh=mesh, width=32, height=32,
+                          n_strata=1, max_depth=3, sky_gradient=False)
+    target = img0 * 0.5
+    opt = optax.adam(3e-2)
+    step = train.make_train_step(opt, mesh=mesh, width=32, height=32,
+                                 n_strata=1, max_depth=3)
+    params = train.get_params(flat)
+    opt_state = opt.init(params)
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step(params, opt_state, flat, cam, 0,
+                                       target)
+        losses.append(float(loss))
+    # adam at this lr moves the loss ~1%/step on this scene; require a
+    # consistent decrease, not a specific rate
+    assert losses[-1] < losses[0] * 0.97, losses
+    assert all(b <= a for a, b in zip(losses, losses[1:])), losses
