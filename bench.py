@@ -5,63 +5,79 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Metric: millions of camera-path samples traced per second (W*H*spp / wall),
 max_depth=50 wavefront bounces per path, Cornell box at the reference's
 default workload shape (600px, CLI.hpp:11-13). The reference publishes no
-throughput numbers (BASELINE.md), so vs_baseline compares against this
-repo's own recorded first TPU measurement in BENCH_BASELINE.json (1.0 when
-absent or when this run IS the baseline).
+throughput numbers (BASELINE.md), so vs_baseline compares against this repo's
+own first honest TPU measurement — the pure-JAX wavefront path — recorded in
+BENCH_BASELINE.json. The default engine is the fused Pallas wavefront
+megakernel (ops/wavefront_pallas.py); set BENCH_ENGINE=jax to time the
+pure-JAX path instead.
+
+Timing note: values are fetched to host (np.asarray), not just
+block_until_ready'd — under the axon TPU tunnel a faulted kernel can report
+ready without data, which silently times nothing.
 """
 import json
 import os
-import sys
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 
 def main():
     import real_time_ray_tracing_engine_tpu as rt
-    from real_time_ray_tracing_engine_tpu.models.render import _render_pass
     from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+    from real_time_ray_tracing_engine_tpu.models.render import (_render_pass,
+                                                                pick_engine)
     from real_time_ray_tracing_engine_tpu.scene.compile import compile_scene
 
     width = int(os.environ.get("BENCH_WIDTH", "600"))
     spp = int(os.environ.get("BENCH_SPP", "16"))
     depth = int(os.environ.get("BENCH_DEPTH", "50"))
+    engine = os.environ.get("BENCH_ENGINE", "auto")
 
     scene = rt.builders.cornell_box()
     scene.camera.image_width = width
     flat = compile_scene(scene)
     cam = cam_mod.derive(scene.camera)
     w, h = cam_mod.image_size(scene.camera)
-
-    kwargs = dict(width=w, height=h, tile_rows=min(h, 128), n_strata=10,
-                  max_depth=depth, sky_gradient=False, n_samples=spp)
     seed = jnp.asarray(0, jnp.uint32)
+    eng = pick_engine(flat, engine)
 
-    # warmup/compile
-    out = _render_pass(flat, cam, seed, jnp.asarray(0, jnp.int32), **kwargs)
-    out.block_until_ready()
+    def run(sample_start):
+        if eng == "pallas":
+            from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas \
+                import render_pass_pallas
+            return render_pass_pallas(
+                flat, cam, seed, jnp.asarray(sample_start, jnp.int32),
+                width=w, height=h, n_strata=10, max_depth=depth,
+                n_samples=spp, sky_gradient=False,
+                interpret=jax.default_backend() == "cpu")
+        return _render_pass(
+            flat, cam, seed, jnp.asarray(sample_start, jnp.int32),
+            width=w, height=h, tile_rows=min(h, 120), n_strata=10,
+            max_depth=depth, sky_gradient=False, n_samples=spp)
 
-    t0 = time.perf_counter()
+    out = np.asarray(run(0))                      # warmup/compile + fetch
+    assert np.isfinite(out).all(), "non-finite radiance"
+
     reps = 3
+    t0 = time.perf_counter()
     for i in range(reps):
-        out = _render_pass(flat, cam, seed, jnp.asarray(i * spp, jnp.int32),
-                           **kwargs)
-    out.block_until_ready()
+        out = run((i + 1) * spp)
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / reps
 
-    samples = w * h * spp
-    mpaths_s = samples / dt / 1e6
-
-    base = 1.0
+    mpaths_s = w * h * spp / dt / 1e6
     vs = 1.0
     if os.path.exists("BENCH_BASELINE.json"):
         with open("BENCH_BASELINE.json") as f:
-            base = json.load(f).get("value", mpaths_s)
-        vs = mpaths_s / base if base else 1.0
+            base = json.load(f).get("value", 0.0)
+        if base:
+            vs = mpaths_s / base
 
     print(json.dumps({
-        "metric": f"cornell_{w}x{h}_spp{spp}_d{depth}_paths_throughput",
+        "metric": f"cornell_{w}x{h}_spp{spp}_d{depth}_paths_throughput_{eng}",
         "value": round(mpaths_s, 4),
         "unit": "Mpaths/s",
         "vs_baseline": round(vs, 4),

@@ -5,6 +5,22 @@ A from-scratch JAX/XLA/Pallas re-design of the capabilities of
 five material families, procedural textures, constant-density volumes,
 SAH BVH, progressive rendering, and multi-device scaling via jax.sharding.
 """
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the render/train graphs (depth-50 scan +
+# while_loop bodies) are XLA-compile-bound; caching makes repeat CLI/bench
+# invocations start in seconds instead of minutes. Opt out with
+# RTX_NO_COMPILE_CACHE=1.
+if not _os.environ.get("RTX_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("RTX_COMPILE_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/jax_rtx_cache")))
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from .scene.schema import (Scene, CameraConfig, Sphere, Quad, Box, Translate,
                            RotateY, ConstantMedium, Lambertian, Metal,
                            Dielectric, DiffuseLight, Isotropic, SolidColor,

@@ -69,14 +69,34 @@ def _render_pass(scene: FlatScene, cam: cam_mod.CameraState, seed,
     return img[:height]
 
 
+def pick_engine(flat: FlatScene, engine: str = "auto") -> str:
+    """Resolve the compute path: "pallas" (fused wavefront megakernel) or
+    "jax" (pure-JAX wavefront — the oracle/fallback, and the only
+    differentiable path).
+
+    "auto" picks pallas on TPU backends for scenes the kernel supports,
+    mirroring the reference's GPU-with-CPU-fallback structure
+    (StaticCamera.cpp:166-207)."""
+    import jax as _jax
+    from ..ops.wavefront_pallas import supports_pallas
+    if engine == "auto":
+        on_tpu = _jax.default_backend() not in ("cpu",)
+        return "pallas" if (on_tpu and supports_pallas(flat)) else "jax"
+    if engine == "pallas" and not supports_pallas(flat):
+        raise ValueError("scene uses features outside the pallas kernel's "
+                         "gate (mediums / noise textures / size caps); "
+                         "use engine='jax'")
+    return engine
+
+
 def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
            seed: int = 0, use_bvh: bool = False, tile_rows: int | None = None,
            samples_per_batch: int = 4, spp: int | None = None,
-           progress=None) -> jnp.ndarray:
+           progress=None, engine: str = "auto") -> jnp.ndarray:
     """Render a full image; returns (H, W, 3) linear float32.
 
     Accepts either a schema Scene (compiled here) or a prebuilt FlatScene +
-    explicit CameraConfig.
+    explicit CameraConfig. engine: "auto" | "pallas" | "jax" (pick_engine).
     """
     if isinstance(scene, Scene):
         cfg = cfg or scene.camera
@@ -92,15 +112,30 @@ def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
     total = n_strata * n_strata
     cam = cam_mod.derive(cfg)
     tr = tile_rows or default_tile_rows(width, height, flat.n_prims)
+    eng = pick_engine(flat, engine)
+    if eng == "pallas":
+        from ..ops.wavefront_pallas import render_pass_pallas
+        import jax as _jax
+        interp = _jax.default_backend() == "cpu"
+        # lane regeneration amortizes dead-lane waste across samples: the
+        # fewer passes, the better (one pass unless progress wants batches)
+        if progress is None:
+            samples_per_batch = total
 
     acc = jnp.zeros((height, width, 3), jnp.float32)
     s = 0
     while s < total:
         k = min(samples_per_batch, total - s)
-        acc = acc + _render_pass(
-            flat, cam, seed, s, width=width, height=height, tile_rows=tr,
-            n_strata=n_strata, max_depth=cfg.max_depth,
-            sky_gradient=cfg.sky_gradient, n_samples=k)
+        if eng == "pallas":
+            acc = acc + render_pass_pallas(
+                flat, cam, seed, s, width=width, height=height,
+                n_strata=n_strata, max_depth=cfg.max_depth, n_samples=k,
+                sky_gradient=cfg.sky_gradient, interpret=interp)
+        else:
+            acc = acc + _render_pass(
+                flat, cam, seed, s, width=width, height=height, tile_rows=tr,
+                n_strata=n_strata, max_depth=cfg.max_depth,
+                sky_gradient=cfg.sky_gradient, n_samples=k)
         s += k
         if progress is not None:
             progress(s, total)
@@ -118,7 +153,7 @@ class ProgressiveRenderer:
     """
 
     def __init__(self, scene: Scene, *, use_bvh: bool = False, seed: int = 0,
-                 tile_rows: int | None = None):
+                 tile_rows: int | None = None, engine: str = "auto"):
         self.scene_schema = scene
         self.cfg = scene.camera
         self.flat = compile_scene(scene, use_bvh=use_bvh)
@@ -128,6 +163,7 @@ class ProgressiveRenderer:
         self.tile_rows = tile_rows or default_tile_rows(
             self.width, self.height, self.flat.n_prims)
         self.cam = cam_mod.derive(self.cfg)
+        self.engine = pick_engine(self.flat, engine)
         self.reset()
 
     # ------------------------------------------------------------ state
@@ -143,11 +179,22 @@ class ProgressiveRenderer:
         """Accumulate one stratum; returns True if work was done."""
         if self.converged:
             return False
-        self.acc = self.acc + _render_pass(
-            self.flat, self.cam, self.seed, self.samples_taken,
-            width=self.width, height=self.height, tile_rows=self.tile_rows,
-            n_strata=self.n_strata, max_depth=self.cfg.max_depth,
-            sky_gradient=self.cfg.sky_gradient, n_samples=1)
+        if self.engine == "pallas":
+            from ..ops.wavefront_pallas import render_pass_pallas
+            import jax as _jax
+            self.acc = self.acc + render_pass_pallas(
+                self.flat, self.cam, self.seed, self.samples_taken,
+                width=self.width, height=self.height,
+                n_strata=self.n_strata, max_depth=self.cfg.max_depth,
+                n_samples=1, sky_gradient=self.cfg.sky_gradient,
+                interpret=_jax.default_backend() == "cpu")
+        else:
+            self.acc = self.acc + _render_pass(
+                self.flat, self.cam, self.seed, self.samples_taken,
+                width=self.width, height=self.height,
+                tile_rows=self.tile_rows, n_strata=self.n_strata,
+                max_depth=self.cfg.max_depth,
+                sky_gradient=self.cfg.sky_gradient, n_samples=1)
         self.samples_taken += 1
         return True
 

@@ -1,0 +1,712 @@
+"""Fused wavefront path-tracing megakernel (Pallas TPU).
+
+SURVEY.md §7 step 5: one Pallas kernel fuses ray generation → brute-force
+intersection → MIS shading → counter RNG → accumulation for a whole bounce
+loop, keeping all per-ray state resident in VMEM across bounces instead of
+streaming (N, 3) ray buffers through HBM once per bounce the way the pure-JAX
+`ops.integrator.trace` path does. This is the TPU analogue of the reference's
+`static_render_kernel` (CameraKernels.cu:240-278: one CUDA thread = one pixel
+doing every sample and the full `ray_color_cuda` recursion in registers) —
+except recursion becomes a `fori_loop` wavefront and warps become (R, 128)
+vector planes.
+
+Layout rules (see /opt/skills/guides/pallas_guide.md):
+  - A ray tile is R×128 rays; every per-ray quantity is a float32/int32/bool
+    plane of shape (R, 128) — sublane × lane — NOT an (N, 3) array, whose
+    last-dim-3 would waste 125 of 128 lanes per register.
+  - Vectors are component triples (x, y, z) of planes.
+  - Scene tables are tiny (Cornell box: ~24 prims) and live in SMEM; the prim
+    loop is unrolled with *static* row indices so every prim parameter is a
+    scalar read broadcast against ray planes.
+  - Material/texture/light "gather" is an unrolled masked-select loop over
+    table rows — the tagged-union dispatch of the reference's CUDA side
+    (cuda_material_scatter Material.cuh:229-249) becomes `jnp.where` chains.
+
+RNG streams are bit-identical to utils/rng.py (same PCG4D, same tags, same
+draw-slot layout), so the pure-JAX integrator is a near-bitwise oracle for
+this kernel — mirroring the reference's CPU-renderer-as-oracle-for-CUDA
+pattern (StaticCamera.cpp:169-178 fallback chain).
+
+Feature gate: scenes with constant mediums or Perlin-noise textures fall back
+to the pure-JAX path (`supports_pallas` returns False); everything else —
+spheres, quads, all 5 material families, solid/checker textures, sphere+quad
+MIS lights, defocus, motion blur, stratification — runs in-kernel.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.flat import (FlatScene, MAT_LAMBERTIAN, MAT_METAL,
+                          MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
+                          TEX_SOLID, TEX_CHECKER, TEX_NOISE)
+from ..utils.rng import _pcg4d, _to_unit, _GOLDEN, N_DRAWS, \
+    D_PICK, D_LIGHT_SEL, D_LIGHT_U, D_LIGHT_V, D_MAT_U, D_MAT_V, \
+    D_FUZZ_U, D_FUZZ_V, D_REFL
+from ..models.camera import CAMERA_DRAW_TAG
+
+BIG = 1e30
+T_MIN = 1e-3
+INV_4PI = 1.0 / (4.0 * math.pi)
+
+# ------------------------------------------------------------------ limits
+MAX_PRIMS = 64      # unrolled intersection loop bound
+MAX_LIGHTS = 8
+MAX_MATS = 16
+MAX_TEXS = 16
+
+
+# ------------------------------------------------------- plane-vector math
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _normalize3(x, y, z, eps=1e-8):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, eps * eps))
+    return x * inv, y * inv, z * inv
+
+
+def _where3(m, ax, ay, az, bx, by, bz):
+    return jnp.where(m, ax, bx), jnp.where(m, ay, by), jnp.where(m, az, bz)
+
+
+def _onb_from_w(wx, wy, wz):
+    """Orthonormal basis from unit w (vecmath.onb_from_w semantics,
+    reference ONB.hpp:19-65)."""
+    big = jnp.abs(wx) > 0.9
+    ax = jnp.where(big, 0.0, 1.0)
+    ay = jnp.where(big, 1.0, 0.0)
+    vx, vy, vz = _cross3(wx, wy, wz, ax, ay, jnp.zeros_like(ax))
+    vx, vy, vz = _normalize3(vx, vy, vz)
+    ux, uy, uz = _cross3(wx, wy, wz, vx, vy, vz)
+    return (ux, uy, uz), (vx, vy, vz), (wx, wy, wz)
+
+
+# ----------------------------------------------------------- RNG (planes)
+def _f2u(x_f):
+    """Non-negative integer-valued f32 plane -> uint32 (Mosaic has no direct
+    float<->uint32 converts; route through int32)."""
+    return jax.lax.bitcast_convert_type(x_f.astype(jnp.int32), jnp.uint32)
+
+
+def _draws(k0, k1, k2, tag, n):
+    """n U[0,1) planes for integer tag; identical stream to rng.uniforms."""
+    outs = []
+    for blk in range(-(-n // 4)):
+        ctr = (tag * jnp.uint32(0x0000193) + jnp.uint32(blk)).astype(
+            jnp.uint32)
+        # no explicit broadcast: _pcg4d broadcasts scalar-or-plane ctr, and
+        # an identity broadcast_to of a tiled vector trips a Mosaic relayout
+        # ("non-singleton dimension replicated in destination")
+        a, b, c, d = _pcg4d(k0, k1, k2, ctr)
+        outs += [_to_unit(a), _to_unit(b), _to_unit(c), _to_unit(d)]
+    return outs[:n]
+
+
+# ------------------------------------------------------------ wrapper-side
+def supports_pallas(flat: FlatScene) -> bool:
+    """True if the fused kernel covers this scene's feature set.
+
+    Reads table *values* — call outside jit (scene compile time)."""
+    if flat.n_mediums > 0:
+        return False
+    if flat.n_prims == 0 or flat.n_prims > MAX_PRIMS:
+        return False
+    if flat.n_lights > MAX_LIGHTS:
+        return False
+    tex_type = np.asarray(flat.tex_type)
+    mat_type = np.asarray(flat.mat_type)
+    if len(mat_type) > MAX_MATS or len(tex_type) > MAX_TEXS:
+        return False
+    if (tex_type == TEX_NOISE).any():
+        return False
+    # checker children must be solid (one nesting level, no noise)
+    for child in (np.asarray(flat.tex_child_even),
+                  np.asarray(flat.tex_child_odd)):
+        if (tex_type[child][tex_type == TEX_CHECKER] != TEX_SOLID).any():
+            return False
+    return True
+
+
+def _pack_tables(flat: FlatScene):
+    """Gather the FlatScene into kernel-ready SMEM tables (traced jnp ops)."""
+    f32 = jnp.float32
+    sphf = jnp.concatenate([
+        flat.sph_center, flat.sph_cdelta, flat.sph_radius[:, None],
+        flat.sph_active.astype(f32)[:, None]], axis=1)        # (S, 8)
+    quadf = jnp.concatenate([
+        flat.quad_corner, flat.quad_u, flat.quad_v, flat.quad_normal,
+        flat.quad_d[:, None], flat.quad_w, flat.quad_area[:, None],
+        flat.quad_active.astype(f32)[:, None]], axis=1)       # (Q, 18)
+    prim_mat = jnp.concatenate([flat.sph_mat, flat.quad_mat])  # (S+Q,)
+
+    # lights: resolve unified prim ids into self-contained rows
+    S = flat.sph_center.shape[0]
+    li = flat.light_prim
+    is_sph = (li < S).astype(f32)
+    si = jnp.clip(li, 0, S - 1)
+    qi = jnp.clip(li - S, 0, flat.quad_corner.shape[0] - 1)
+    lightf = jnp.concatenate([
+        is_sph[:, None],
+        flat.sph_center[si], flat.sph_cdelta[si],
+        flat.sph_radius[si][:, None],                          # cols 1-7
+        flat.quad_corner[qi], flat.quad_u[qi], flat.quad_v[qi],
+        flat.quad_normal[qi], flat.quad_d[qi][:, None],
+        flat.quad_w[qi], flat.quad_area[qi][:, None],          # cols 8-24
+    ], axis=1)                                                 # (L, 25)
+
+    mati = jnp.stack([flat.mat_type, flat.mat_tex], axis=1)    # (NM, 2)
+    matf = jnp.stack([flat.mat_fuzz, flat.mat_ior], axis=1)    # (NM, 2)
+
+    # textures resolved one level deep: checker children -> solid colors
+    even_c = flat.tex_color[flat.tex_child_even]
+    odd_c = flat.tex_color[flat.tex_child_odd]
+    is_chk = (flat.tex_type == TEX_CHECKER).astype(f32)
+    texf = jnp.concatenate([
+        flat.tex_color, flat.tex_scale[:, None], is_chk[:, None],
+        even_c, odd_c], axis=1)                                # (NT, 11)
+    return sphf, quadf, prim_mat, lightf, mati, matf, texf
+
+
+# ------------------------------------------------------------- the kernel
+def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
+                 n_samples, sky_gradient):
+    n_prims = S + Q
+
+    def kernel(pix_ref, fi_ref, fj_ref, iscal_ref, fscal_ref, sphf_ref,
+               quadf_ref, pmat_ref, lightf_ref, mati_ref, matf_ref, texf_ref,
+               out_ref):
+        pix = pix_ref[:]                                     # (R,128) int32
+        seed = iscal_ref[0].astype(jnp.uint32)
+        sample_start_f = iscal_ref[1].astype(jnp.float32)
+
+        fs = fscal_ref
+        cx, cy, cz = fs[0], fs[1], fs[2]                     # camera center
+        p0x, p0y, p0z = fs[3], fs[4], fs[5]                  # pixel00
+        dux, duy, duz = fs[6], fs[7], fs[8]                  # pixel_du
+        dvx, dvy, dvz = fs[9], fs[10], fs[11]                # pixel_dv
+        fux, fuy, fuz = fs[12], fs[13], fs[14]               # defocus_u
+        fvx, fvy, fvz = fs[15], fs[16], fs[17]               # defocus_v
+        defocus_on = fs[18]
+        bgx, bgy, bgz = fs[19], fs[20], fs[21]
+
+        # counter-RNG key planes (rng.ray_keys semantics)
+        k0 = pix.astype(jnp.uint32)
+        k2 = jnp.broadcast_to(
+            seed * jnp.uint32(_GOLDEN) + jnp.uint32(0x85EBCA6B), k0.shape)
+
+        # pixel (i, j) planes precomputed on host (integer div/mod are not
+        # vector ops on the VPU)
+        i_f = fi_ref[:]
+        j_f = fj_ref[:]
+
+        # data-derived zero: a constant-splat zeros_like gets a replicated
+        # Mosaic layout, which while_loop carries cannot relayout back into
+        zero = i_f * 0.0
+
+        # ----------------------------- closest hit over all prims (unrolled)
+        def closest_hit(ox, oy, oz, dx, dy, dz, tm):
+            best_t = zero + BIG
+            mat = jnp.zeros_like(pix)
+            nx, ny, nz = zero, zero, zero                  # outward normal
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+            for p in range(S):
+                scx = sphf_ref[p, 0] + tm * sphf_ref[p, 3]
+                scy = sphf_ref[p, 1] + tm * sphf_ref[p, 4]
+                scz = sphf_ref[p, 2] + tm * sphf_ref[p, 5]
+                rad = sphf_ref[p, 6]
+                ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
+                h = _dot3(dx, dy, dz, ocx, ocy, ocz)
+                c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+                disc = h * h - a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r0 = (h - sq) * inv_a
+                r1 = (h + sq) * inv_a
+                in0 = (r0 > T_MIN) & (r0 < best_t)
+                in1 = (r1 > T_MIN) & (r1 < best_t)
+                t_p = jnp.where(in0, r0, r1)
+                take = ((disc > 0.0) & (in0 | in1)
+                        & (sphf_ref[p, 7] > 0.5) & (rad > 0.0))
+                inv_r = 1.0 / jnp.maximum(rad, 1e-12)
+                hx = ox + t_p * dx
+                hy = oy + t_p * dy
+                hz = oz + t_p * dz
+                best_t = jnp.where(take, t_p, best_t)
+                mat = jnp.where(take, pmat_ref[p], mat)
+                nx = jnp.where(take, (hx - scx) * inv_r, nx)
+                ny = jnp.where(take, (hy - scy) * inv_r, ny)
+                nz = jnp.where(take, (hz - scz) * inv_r, nz)
+            for q in range(Q):
+                qnx, qny, qnz = quadf_ref[q, 9], quadf_ref[q, 10], \
+                    quadf_ref[q, 11]
+                denom = _dot3(dx, dy, dz, qnx, qny, qnz)
+                par = jnp.abs(denom) < 1e-8
+                t_q = (quadf_ref[q, 12] - _dot3(ox, oy, oz, qnx, qny, qnz)) \
+                    / jnp.where(par, 1.0, denom)
+                hx = ox + t_q * dx - quadf_ref[q, 0]
+                hy = oy + t_q * dy - quadf_ref[q, 1]
+                hz = oz + t_q * dz - quadf_ref[q, 2]
+                uxq, uyq, uzq = quadf_ref[q, 3], quadf_ref[q, 4], \
+                    quadf_ref[q, 5]
+                vxq, vyq, vzq = quadf_ref[q, 6], quadf_ref[q, 7], \
+                    quadf_ref[q, 8]
+                wxq, wyq, wzq = quadf_ref[q, 13], quadf_ref[q, 14], \
+                    quadf_ref[q, 15]
+                c1 = _cross3(hx, hy, hz, vxq, vyq, vzq)
+                alpha = _dot3(wxq, wyq, wzq, *c1)
+                c2 = _cross3(uxq, uyq, uzq, hx, hy, hz)
+                beta = _dot3(wxq, wyq, wzq, *c2)
+                take = (~par & (alpha >= 0.0) & (alpha <= 1.0)
+                        & (beta >= 0.0) & (beta <= 1.0)
+                        & (t_q > T_MIN) & (t_q < best_t)
+                        & (quadf_ref[q, 17] > 0.5))
+                best_t = jnp.where(take, t_q, best_t)
+                mat = jnp.where(take, pmat_ref[S + q], mat)
+                nx = jnp.where(take, qnx + zero, nx)
+                ny = jnp.where(take, qny + zero, ny)
+                nz = jnp.where(take, qnz + zero, nz)
+            hit = best_t < BIG * 0.5
+            t_safe = jnp.where(hit, best_t, 1.0)
+            px = ox + t_safe * dx
+            py = oy + t_safe * dy
+            pz = oz + t_safe * dz
+            front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            return hit, px, py, pz, nx * sgn, ny * sgn, nz * sgn, \
+                front, mat
+
+        # ----------------------------- texture color at (point, tex index)
+        def texture_color(tex, px, py, pz):
+            rr, gg, bb = zero, zero, zero
+            for t in range(NT):
+                inv = 1.0 / jnp.maximum(texf_ref[t, 3], 1e-12)
+                fx = jnp.floor(inv * px).astype(jnp.int32)
+                fy = jnp.floor(inv * py).astype(jnp.int32)
+                fz = jnp.floor(inv * pz).astype(jnp.int32)
+                # parity via bit-and (int % is not a VPU op; two's complement
+                # &1 gives the same odd/even answer for negatives)
+                even = ((fx + fy + fz) & 1) == 0
+                is_chk = texf_ref[t, 4] > 0.5
+                cr = jnp.where(is_chk,
+                               jnp.where(even, texf_ref[t, 5], texf_ref[t, 8]),
+                               texf_ref[t, 0])
+                cg = jnp.where(is_chk,
+                               jnp.where(even, texf_ref[t, 6], texf_ref[t, 9]),
+                               texf_ref[t, 1])
+                cb = jnp.where(is_chk,
+                               jnp.where(even, texf_ref[t, 7],
+                                         texf_ref[t, 10]),
+                               texf_ref[t, 2])
+                m = tex == t
+                rr = jnp.where(m, cr, rr)
+                gg = jnp.where(m, cg, gg)
+                bb = jnp.where(m, cb, bb)
+            return rr, gg, bb
+
+        # ----------------------------- light pdf / sample (unrolled over L)
+        def light_pdf(ox, oy, oz, dx, dy, dz, tm):
+            """Uniform-average solid-angle pdf (lights.light_pdf_value)."""
+            total = zero
+            for l in range(L):
+                is_s = lightf_ref[l, 0] > 0.5
+                # sphere: hit test + cone solid angle (Sphere.cpp:145-158)
+                scx = lightf_ref[l, 1] + tm * lightf_ref[l, 4]
+                scy = lightf_ref[l, 2] + tm * lightf_ref[l, 5]
+                scz = lightf_ref[l, 3] + tm * lightf_ref[l, 6]
+                rad = lightf_ref[l, 7]
+                ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
+                a = _dot3(dx, dy, dz, dx, dy, dz)
+                h = _dot3(dx, dy, dz, ocx, ocy, ocz)
+                c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+                disc = h * h - a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r0 = (h - sq) / a
+                r1 = (h + sq) / a
+                hit_s = ((disc > 0.0) & (rad > 0.0)
+                         & ((r0 > T_MIN) | (r1 > T_MIN)))
+                dist2 = _dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                ratio = jnp.clip(1.0 - rad * rad
+                                 / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+                cos_max = jnp.sqrt(jnp.maximum(ratio, 1e-12))
+                solid = 2.0 * math.pi * (1.0 - cos_max)
+                pdf_s = jnp.where(hit_s,
+                                  1.0 / jnp.maximum(solid, 1e-12), 0.0)
+                # quad: hit test + dist^2/(cos*area) (Plane.cpp:115-126)
+                qnx, qny, qnz = lightf_ref[l, 17], lightf_ref[l, 18], \
+                    lightf_ref[l, 19]
+                denom = _dot3(dx, dy, dz, qnx, qny, qnz)
+                par = jnp.abs(denom) < 1e-8
+                t_q = (lightf_ref[l, 20]
+                       - _dot3(ox, oy, oz, qnx, qny, qnz)) \
+                    / jnp.where(par, 1.0, denom)
+                hx = ox + t_q * dx - lightf_ref[l, 8]
+                hy = oy + t_q * dy - lightf_ref[l, 9]
+                hz = oz + t_q * dz - lightf_ref[l, 10]
+                wxq, wyq, wzq = lightf_ref[l, 21], lightf_ref[l, 22], \
+                    lightf_ref[l, 23]
+                c1 = _cross3(hx, hy, hz, lightf_ref[l, 14],
+                             lightf_ref[l, 15], lightf_ref[l, 16])
+                alpha = _dot3(wxq, wyq, wzq, *c1)
+                c2 = _cross3(lightf_ref[l, 11], lightf_ref[l, 12],
+                             lightf_ref[l, 13], hx, hy, hz)
+                beta = _dot3(wxq, wyq, wzq, *c2)
+                hit_q = (~par & (alpha >= 0.0) & (alpha <= 1.0)
+                         & (beta >= 0.0) & (beta <= 1.0) & (t_q > T_MIN))
+                cosine = jnp.abs(denom)   # dr unit
+                pdf_q = jnp.where(
+                    hit_q,
+                    t_q * t_q / jnp.maximum(cosine * lightf_ref[l, 24],
+                                            1e-12),
+                    0.0)
+                total = total + jnp.where(is_s, pdf_s, pdf_q)
+            return total / max(L, 1)
+
+        def light_sample(ox, oy, oz, tm, u_sel, u1, u2):
+            """Direction toward a uniformly chosen light (lights.light_sample)."""
+            sel = jnp.clip((u_sel * L).astype(jnp.int32), 0, max(L - 1, 0))
+            gx, gy, gz = zero, zero, zero
+            for l in range(L):
+                is_s = lightf_ref[l, 0] > 0.5
+                # sphere: cone sample via ONB toward center (Sphere.cpp:160-188)
+                scx = lightf_ref[l, 1] + tm * lightf_ref[l, 4]
+                scy = lightf_ref[l, 2] + tm * lightf_ref[l, 5]
+                scz = lightf_ref[l, 3] + tm * lightf_ref[l, 6]
+                rad = lightf_ref[l, 7]
+                tox, toy, toz = scx - ox, scy - oy, scz - oz
+                dist2 = jnp.maximum(
+                    _dot3(tox, toy, toz, tox, toy, toz), 1e-12)
+                ratio = jnp.clip(1.0 - rad * rad / dist2, 0.0, 1.0)
+                zc = 1.0 + u2 * (jnp.sqrt(jnp.maximum(ratio, 1e-12)) - 1.0)
+                phi = (2.0 * math.pi) * u1
+                sc = jnp.sqrt(jnp.maximum(1.0 - zc * zc, 1e-12))
+                lx = jnp.cos(phi) * sc
+                ly = jnp.sin(phi) * sc
+                wx, wy, wz = _normalize3(tox, toy, toz)
+                (ux, uy, uz), (vx, vy, vz), _ = _onb_from_w(wx, wy, wz)
+                sxx = lx * ux + ly * vx + zc * wx
+                syy = lx * uy + ly * vy + zc * wy
+                szz = lx * uz + ly * vz + zc * wz
+                # quad: uniform area point (Plane.cpp:128-133)
+                qx = (lightf_ref[l, 8] + u1 * lightf_ref[l, 11]
+                      + u2 * lightf_ref[l, 14]) - ox
+                qy = (lightf_ref[l, 9] + u1 * lightf_ref[l, 12]
+                      + u2 * lightf_ref[l, 15]) - oy
+                qz = (lightf_ref[l, 10] + u1 * lightf_ref[l, 13]
+                      + u2 * lightf_ref[l, 16]) - oz
+                m = sel == l
+                gx = jnp.where(m, jnp.where(is_s, sxx, qx), gx)
+                gy = jnp.where(m, jnp.where(is_s, syy, qy), gy)
+                gz = jnp.where(m, jnp.where(is_s, szz, qz), gz)
+            return _normalize3(gx, gy, gz)
+
+        # --------------------------- camera ray for per-lane sample ids
+        def gen_ray(s_abs_f):
+            """Camera ray planes for absolute sample ids s_abs_f (f32 plane).
+
+            Same draws/stratification as camera.generate_rays (tag
+            CAMERA_DRAW_TAG, stratum (s % n, s // n), Camera.cpp:208-216)."""
+            k1 = _f2u(s_abs_f)
+            u0, u1c, u2c, u3c, u4c = _draws(
+                k0, k1, k2, jnp.uint32(CAMERA_DRAW_TAG), 5)
+            n_s = jnp.float32(n_strata)
+            s_i = s_abs_f - jnp.floor(s_abs_f / n_s) * n_s
+            s_j = jnp.floor(s_abs_f / n_s)
+            inv = 1.0 / n_strata
+            off_x = (s_i + u0) * inv - 0.5
+            off_y = (s_j + u1c) * inv - 0.5
+            psx = p0x + (i_f + off_x) * dux + (j_f + off_y) * dvx
+            psy = p0y + (i_f + off_x) * duy + (j_f + off_y) * dvy
+            psz = p0z + (i_f + off_x) * duz + (j_f + off_y) * dvz
+            # defocus disk (rng.in_unit_disk_from_uv)
+            rr = jnp.sqrt(u2c)
+            phi = (2.0 * math.pi) * u3c
+            da = rr * jnp.cos(phi) * defocus_on
+            db = rr * jnp.sin(phi) * defocus_on
+            ox = cx + da * fux + db * fvx
+            oy = cy + da * fuy + db * fvy
+            oz = cz + da * fuz + db * fvz
+            dx, dy, dz = _normalize3(psx - ox, psy - oy, psz - oz)
+            return ox, oy, oz, dx, dy, dz, u4c   # u4c = motion-blur time
+
+        # ------------------------------------------------ one path bounce
+        def bounce(st):
+            """One wavefront step with lane regeneration.
+
+            A lane whose path terminated immediately restarts on its pixel's
+            next stratified sample (persistent-threads regeneration): lanes
+            stay busy for ~n_samples * E[path length] + max_depth iterations
+            instead of n_samples * max_depth. RNG streams per
+            (pixel, sample, bounce) are unchanged, so results still match the
+            pure-JAX oracle."""
+            (ox, oy, oz, dx, dy, dz, thx, thy, thz,
+             rx, ry, rz, alive_f, b_f, s_f, tm, _work) = st
+
+            # --- regenerate dead lanes that still have samples left
+            regen = (alive_f < 0.5) & (s_f + 1.0 < n_samples)
+            s_f = jnp.where(regen, s_f + 1.0, s_f)
+            s_abs_f = sample_start_f + s_f
+            gox, goy, goz, gdx0, gdy0, gdz0, gtm = gen_ray(s_abs_f)
+            ox = jnp.where(regen, gox, ox)
+            oy = jnp.where(regen, goy, oy)
+            oz = jnp.where(regen, goz, oz)
+            dx = jnp.where(regen, gdx0, dx)
+            dy = jnp.where(regen, gdy0, dy)
+            dz = jnp.where(regen, gdz0, dz)
+            tm = jnp.where(regen, gtm, tm)
+            thx = jnp.where(regen, 1.0, thx)
+            thy = jnp.where(regen, 1.0, thy)
+            thz = jnp.where(regen, 1.0, thz)
+            b_f = jnp.where(regen, 0.0, b_f)
+            alive = (alive_f > 0.5) | regen
+
+            k1 = _f2u(s_abs_f)
+            u = _draws(k0, k1, k2,
+                       jnp.uint32(0x4000000) + _f2u(b_f), N_DRAWS)
+
+            (hit, px, py, pz, nx, ny, nz, front,
+             mat) = closest_hit(ox, oy, oz, dx, dy, dz, tm)
+
+            # 1. miss -> background (Camera.cpp:242-243)
+            if sky_gradient:
+                a_sky = 0.5 * (dy + 1.0)
+                sbx = (1.0 - a_sky) + a_sky * 0.5
+                sby = (1.0 - a_sky) + a_sky * 0.7
+                sbz = (1.0 - a_sky) + a_sky * 1.0
+            else:
+                sbx, sby, sbz = bgx + zero, bgy + zero, bgz + zero
+            miss = alive & ~hit
+            rx = rx + jnp.where(miss, thx * sbx, 0.0)
+            ry = ry + jnp.where(miss, thy * sby, 0.0)
+            rz = rz + jnp.where(miss, thz * sbz, 0.0)
+
+            # gather material row (masked-select over NM rows)
+            mtype = jnp.zeros_like(mat)
+            mtex = jnp.zeros_like(mat)
+            fuzz = zero
+            ior = zero + 1.0
+            for m in range(NM):
+                sel = mat == m
+                mtype = jnp.where(sel, mati_ref[m, 0], mtype)
+                mtex = jnp.where(sel, mati_ref[m, 1], mtex)
+                fuzz = jnp.where(sel, matf_ref[m, 0], fuzz)
+                ior = jnp.where(sel, matf_ref[m, 1], ior)
+            tr, tg, tb = texture_color(mtex, px, py, pz)
+
+            is_light = mtype == MAT_DIFFUSE_LIGHT
+            is_metal = mtype == MAT_METAL
+            is_diel = mtype == MAT_DIELECTRIC
+            is_iso = mtype == MAT_ISOTROPIC
+
+            # 2. emitted (front faces only, DiffuseLightMaterial.cpp:12-23)
+            live_hit = alive & hit
+            emit_on = live_hit & is_light & front
+            rx = rx + jnp.where(emit_on, thx * tr, 0.0)
+            ry = ry + jnp.where(emit_on, thy * tg, 0.0)
+            rz = rz + jnp.where(emit_on, thz * tb, 0.0)
+
+            # 3-4. scatter (materials.scatter semantics)
+            # metal: mirror + fuzz jitter (MetalMaterial.cpp:10-62)
+            dvn = _dot3(dx, dy, dz, nx, ny, nz)
+            rfx = dx - 2.0 * dvn * nx
+            rfy = dy - 2.0 * dvn * ny
+            rfz = dz - 2.0 * dvn * nz
+            rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
+            # unit_vector_from_uv(u_fuzz1, u_fuzz2)
+            zj = 1.0 - 2.0 * u[D_FUZZ_U]
+            rj = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zj * zj))
+            pj = (2.0 * math.pi) * u[D_FUZZ_V]
+            mx = rfx + fuzz * rj * jnp.cos(pj)
+            my = rfy + fuzz * rj * jnp.sin(pj)
+            mz = rfz + fuzz * zj
+            mx, my, mz = _normalize3(mx, my, mz)
+            metal_ok = _dot3(mx, my, mz, nx, ny, nz) > 0.0
+
+            # dielectric (DielectricMaterial.cpp:11-86)
+            ri = jnp.where(front, 1.0 / ior, ior)
+            cos_t = jnp.minimum(-dvn, 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+            cannot = ri * sin_t > 1.0
+            r0s = (1.0 - ri) / (1.0 + ri)
+            r0s = r0s * r0s
+            schlick = r0s + (1.0 - r0s) * (1.0 - cos_t) ** 5
+            do_refl = cannot | (schlick > u[D_REFL])
+            # refract (vecmath.refract)
+            rpx = ri * (dx + cos_t * nx)
+            rpy = ri * (dy + cos_t * ny)
+            rpz = ri * (dz + cos_t * nz)
+            rp2 = _dot3(rpx, rpy, rpz, rpx, rpy, rpz)
+            rpar = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - rp2), 1e-12))
+            gx_, gy_, gz_ = _normalize3(rpx + rpar * nx, rpy + rpar * ny,
+                                        rpz + rpar * nz)
+            ddx, ddy, ddz = _where3(do_refl, rfx, rfy, rfz,
+                                    gx_, gy_, gz_)
+
+            atx = jnp.where(is_diel, 1.0, tr)
+            aty = jnp.where(is_diel, 1.0, tg)
+            atz = jnp.where(is_diel, 1.0, tb)
+            scatters = ~is_light & ~(is_metal & ~metal_ok)
+            skip_pdf = is_metal | is_diel
+            skx, sky_, skz = _where3(is_metal, mx, my, mz, ddx, ddy, ddz)
+
+            # material pdf sample: cosine hemisphere / uniform sphere
+            (ux, uy, uz), (vx, vy, vz), (wx, wy, wz) = _onb_from_w(
+                *_normalize3(nx, ny, nz))
+            phm = (2.0 * math.pi) * u[D_MAT_U]
+            sq2 = jnp.sqrt(jnp.maximum(u[D_MAT_V], 1e-12))
+            zc = jnp.sqrt(jnp.maximum(1e-12, 1.0 - u[D_MAT_V]))
+            ccx = jnp.cos(phm) * sq2
+            ccy = jnp.sin(phm) * sq2
+            cdx = ccx * ux + ccy * vx + zc * wx
+            cdy = ccx * uy + ccy * vy + zc * wy
+            cdz = ccx * uz + ccy * vz + zc * wz
+            cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+            # uniform sphere (isotropic) reuses the same two uniforms
+            zs = 1.0 - 2.0 * u[D_MAT_U]
+            rs = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zs * zs))
+            ps = (2.0 * math.pi) * u[D_MAT_V]
+            sdx = rs * jnp.cos(ps)
+            sdy = rs * jnp.sin(ps)
+            sdz = zs
+            mdx, mdy, mdz = _where3(is_iso, sdx, sdy, sdz, cdx, cdy, cdz)
+
+            if L > 0:
+                ldx, ldy, ldz = light_sample(px, py, pz, tm,
+                                             u[D_LIGHT_SEL],
+                                             u[D_LIGHT_U], u[D_LIGHT_V])
+                pick = u[D_PICK] < 0.5
+                gdx, gdy, gdz = _where3(pick, ldx, ldy, ldz,
+                                        mdx, mdy, mdz)
+                cosv = jnp.maximum(
+                    0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
+                mat_pdf = jnp.where(is_iso, INV_4PI, cosv)
+                pdf_val = 0.5 * light_pdf(px, py, pz, gdx, gdy, gdz,
+                                          tm) + 0.5 * mat_pdf
+            else:
+                gdx, gdy, gdz = mdx, mdy, mdz
+                cosv = jnp.maximum(
+                    0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
+                pdf_val = jnp.where(is_iso, INV_4PI, cosv)
+
+            coss = jnp.maximum(
+                0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
+            spdf = jnp.where(is_iso, INV_4PI, coss)
+            pdf_ok = pdf_val > 1e-8
+            mis = spdf / jnp.where(pdf_ok, pdf_val, 1.0)
+            factor = jnp.where(skip_pdf, 1.0, mis)
+            ndx, ndy, ndz = _where3(skip_pdf, skx, sky_, skz,
+                                    gdx, gdy, gdz)
+
+            thx = jnp.where(live_hit, thx * atx * factor, thx)
+            thy = jnp.where(live_hit, thy * aty * factor, thy)
+            thz = jnp.where(live_hit, thz * atz * factor, thz)
+            ox, oy, oz = _where3(live_hit, px, py, pz, ox, oy, oz)
+            dx, dy, dz = _where3(live_hit, ndx, ndy, ndz, dx, dy, dz)
+            # the reference terminates the recursion at depth==max_depth
+            # (Camera.cpp:236-237): a path still alive after its
+            # max_depth-th bounce contributes nothing further
+            b_f = b_f + 1.0
+            alive_new = (live_hit & scatters & (skip_pdf | pdf_ok)
+                         & (b_f < max_depth))
+            work = alive_new | (s_f + 1.0 < n_samples)
+            return (ox, oy, oz, dx, dy, dz, thx, thy, thz,
+                    rx, ry, rz, jnp.where(alive_new, zero + 1.0, zero), b_f,
+                    s_f, tm, jnp.where(work, zero + 1.0, zero))
+
+        # persistent-wavefront loop: run until every lane is dead AND has
+        # exhausted its samples
+        gox, goy, goz, gdx0, gdy0, gdz0, gtm = gen_ray(
+            sample_start_f + zero)
+        state = (gox, goy, goz, gdx0, gdy0, gdz0,
+                 zero + 1.0, zero + 1.0, zero + 1.0,   # throughput
+                 zero, zero, zero,                      # radiance
+                 zero + 1.0,                            # alive mask (f32)
+                 zero,                                  # bounce count
+                 zero,                                  # local sample idx
+                 gtm,                                   # ray time
+                 zero + 1.0)                            # work-left mask
+
+        def w_cond(st):
+            return jnp.sum(st[16]) > 0.0
+
+        out = jax.lax.while_loop(w_cond, bounce, state)
+        out_ref[0] = out[9]
+        out_ref[1] = out[10]
+        out_ref[2] = out[11]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
+                     "sky_gradient", "rows_per_tile", "interpret"))
+def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
+                       width: int, height: int, n_strata: int,
+                       max_depth: int, n_samples: int,
+                       sky_gradient: bool = False, rows_per_tile: int = 64,
+                       interpret: bool = False):
+    """Sum of n_samples stratified samples, (height, width, 3) — fused kernel.
+
+    Drop-in replacement for models.render._render_pass (same RNG streams,
+    same estimator; see module docstring for the feature gate).
+    """
+    S = flat.sph_center.shape[0]
+    Q = flat.quad_corner.shape[0]
+    L = flat.n_lights
+    sphf, quadf, prim_mat, lightf, mati, matf, texf = _pack_tables(flat)
+    lightf = lightf[:max(L, 1)]
+
+    n_pix = width * height
+    R = rows_per_tile
+    lane = 128
+    rays_per_tile = R * lane
+    n_tiles = -(-n_pix // rays_per_tile)
+    pix_flat = jnp.minimum(
+        jnp.arange(n_tiles * rays_per_tile, dtype=jnp.int32), n_pix - 1)
+    pix = pix_flat.reshape(n_tiles * R, lane)
+    fi = (pix_flat % width).astype(jnp.float32).reshape(n_tiles * R, lane)
+    fj = (pix_flat // width).astype(jnp.float32).reshape(n_tiles * R, lane)
+
+    iscal = jnp.stack([jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+                       jnp.asarray(sample_start, jnp.int32)])
+    fscal = jnp.concatenate([
+        cam.center, cam.pixel00, cam.pixel_du, cam.pixel_dv,
+        cam.defocus_u, cam.defocus_v, cam.defocus_on[None],
+        cam.background]).astype(jnp.float32)
+
+    kernel = _make_kernel(
+        S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=int(texf.shape[0]), R=R,
+        width=width, n_pix=n_pix, n_strata=n_strata, max_depth=max_depth,
+        n_samples=n_samples, sky_gradient=sky_gradient)
+
+    tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            tile_spec(), tile_spec(), tile_spec(),
+            smem(), smem(), smem(), smem(), smem(), smem(), smem(), smem(),
+            smem(),
+        ],
+        out_specs=pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n_tiles * R, lane), jnp.float32),
+        interpret=interpret,
+    )(pix, fi, fj, iscal, fscal, sphf, quadf, prim_mat, lightf, mati, matf,
+      texf)
+
+    img = out.reshape(3, n_tiles * rays_per_tile)[:, :n_pix]
+    return jnp.moveaxis(img, 0, -1).reshape(height, width, 3)

@@ -53,9 +53,14 @@ def _pcg4d(a, b, c, d):
 
 
 def _to_unit(u):
-    """u32 -> float32 in [0, 1) using the top 24 bits."""
-    return (u >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
-        1.0 / 16777216.0)
+    """u32 -> float32 in [0, 1) using the top 24 bits.
+
+    Routed through an int32 bitcast: after >>8 the sign bit is clear, so the
+    reinterpretation is value-preserving, and Mosaic (Pallas TPU) has no
+    uint32->float32 convert while int32->float32 is native.
+    """
+    i = jax.lax.bitcast_convert_type(u >> jnp.uint32(8), jnp.int32)
+    return i.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
 def ray_keys(seed, pixel_ids, sample_ids):

@@ -1,0 +1,128 @@
+"""Fused Pallas wavefront megakernel vs the pure-JAX integrator oracle.
+
+Mirrors the reference's CPU-renderer-as-oracle-for-the-CUDA-path validation
+(StaticCamera.cpp:169-178 fallback chain; SURVEY.md §4): the kernel
+reimplements the same estimator with the same PCG4D draw streams per
+(pixel, sample, bounce), so per-pixel radiance must match the JAX path up to
+float-associativity noise plus a small fraction of discrete branch flips
+(t-comparison ties, Schlick threshold crossings) on last-ulp differences.
+
+Runs in Pallas interpret mode on the CPU test backend.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from real_time_ray_tracing_engine_tpu.models.render import (_render_pass,
+                                                            pick_engine)
+from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+from real_time_ray_tracing_engine_tpu.scene.compile import compile_scene
+from real_time_ray_tracing_engine_tpu.scene import builders
+from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (
+    render_pass_pallas, supports_pallas)
+import real_time_ray_tracing_engine_tpu as rt
+
+
+def _compare(scene, *, n_samples=2, max_depth=4, n_strata=2, seed=0):
+    flat = compile_scene(scene)
+    cam = cam_mod.derive(scene.camera)
+    w, h = cam_mod.image_size(scene.camera)
+    kw = dict(width=w, height=h, n_strata=n_strata, max_depth=max_depth,
+              n_samples=n_samples, sky_gradient=scene.camera.sky_gradient)
+    img_p = np.asarray(render_pass_pallas(
+        flat, cam, jnp.uint32(seed), jnp.int32(0), rows_per_tile=8,
+        interpret=True, **kw))
+    img_j = np.asarray(_render_pass(
+        flat, cam, jnp.asarray(seed, jnp.uint32), jnp.asarray(0, jnp.int32),
+        tile_rows=min(h, 32), **kw))
+    return img_p, img_j
+
+
+def _assert_close(img_p, img_j, frac_tol=0.01):
+    assert np.isfinite(img_p).all()
+    diff = np.abs(img_p - img_j)
+    # identical draw streams: all but discrete branch-flip pixels match
+    assert (diff > 1e-3).mean() < frac_tol, (diff.max(), (diff > 1e-3).mean())
+    assert abs(img_p.mean() - img_j.mean()) < 2e-3
+
+
+def test_cornell_box_matches_jax_oracle():
+    scene = builders.cornell_box()
+    scene.camera.image_width = 48
+    img_p, img_j = _compare(scene)
+    _assert_close(img_p, img_j)
+
+
+def test_materials_scene_matches_oracle():
+    """Sphere scene exercising lambertian/metal/dielectric + checker +
+    sphere light + DOF + motion blur in one image."""
+    cam = rt.CameraConfig(aspect_ratio=16 / 9, image_width=64,
+                          samples_per_pixel=4, max_depth=4, vfov=20,
+                          lookfrom=(13, 2, 3), lookat=(0, 0, 0),
+                          defocus_angle=0.6, focus_dist=10.0,
+                          background=(0.7, 0.8, 1.0))
+    checker = rt.Checker(2.0, rt.SolidColor((0.2, 0.3, 0.1)),
+                         rt.SolidColor((0.9, 0.9, 0.9)))
+    light_sphere = rt.Sphere((0, 6, 0), 2.0,
+                             rt.DiffuseLight(rt.SolidColor((4, 4, 4))))
+    scene = rt.Scene(
+        objects=[
+            rt.Sphere((0, -1000, 0), 1000.0, rt.Lambertian(checker)),
+            rt.Sphere((0, 1, 0), 1.0, rt.Dielectric(1.5)),
+            rt.Sphere((-4, 1, 0), 1.0,
+                      rt.Lambertian(rt.SolidColor((0.4, 0.2, 0.1))),
+                      center2=(-4, 1.3, 0)),
+            rt.Sphere((4, 1, 0), 1.0, rt.Metal((0.7, 0.6, 0.5), fuzz=0.1)),
+            light_sphere,
+        ],
+        lights=[light_sphere],
+        camera=cam)
+    img_p, img_j = _compare(scene)
+    _assert_close(img_p, img_j)
+
+
+def test_supports_gate():
+    cornell = compile_scene(builders.cornell_box())
+    assert supports_pallas(cornell)
+    # mediums are outside the kernel's gate
+    smoke = rt.Scene(objects=[
+        rt.ConstantMedium(
+            rt.Box((0, 0, 0), (1, 1, 1),
+                   rt.Lambertian(rt.SolidColor((1, 1, 1)))),
+            0.1, rt.SolidColor((1, 1, 1)))])
+    assert not supports_pallas(compile_scene(smoke))
+    # noise textures are outside the gate
+    marble = rt.Scene(objects=[
+        rt.Sphere((0, 0, 0), 1.0, rt.Lambertian(rt.Noise(4.0)))])
+    assert not supports_pallas(compile_scene(marble))
+
+
+def test_pick_engine_auto_on_cpu_is_jax():
+    flat = compile_scene(builders.cornell_box())
+    assert pick_engine(flat, "auto") == "jax"       # tests run on CPU
+    assert pick_engine(flat, "pallas") == "pallas"
+    with pytest.raises(ValueError):
+        smoke = compile_scene(rt.Scene(objects=[
+            rt.ConstantMedium(
+                rt.Box((0, 0, 0), (1, 1, 1),
+                       rt.Lambertian(rt.SolidColor((1, 1, 1)))),
+                0.1, rt.SolidColor((1, 1, 1)))]))
+        pick_engine(smoke, "pallas")
+
+
+def test_progressive_stratum_equals_batch_sample():
+    """One n_samples=2 pass == two n_samples=1 passes (regeneration keeps
+    per-(pixel,sample) streams intact)."""
+    scene = builders.cornell_box()
+    scene.camera.image_width = 32
+    flat = compile_scene(scene)
+    cam = cam_mod.derive(scene.camera)
+    kw = dict(width=32, height=32, n_strata=2, max_depth=3,
+              sky_gradient=False, rows_per_tile=8, interpret=True)
+    both = np.asarray(render_pass_pallas(
+        flat, cam, jnp.uint32(0), jnp.int32(0), n_samples=2, **kw))
+    s0 = np.asarray(render_pass_pallas(
+        flat, cam, jnp.uint32(0), jnp.int32(0), n_samples=1, **kw))
+    s1 = np.asarray(render_pass_pallas(
+        flat, cam, jnp.uint32(0), jnp.int32(1), n_samples=1, **kw))
+    np.testing.assert_allclose(both, s0 + s1, rtol=1e-5, atol=1e-5)
