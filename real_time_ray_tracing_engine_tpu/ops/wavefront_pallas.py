@@ -31,6 +31,14 @@ Feature gate: scenes with constant mediums or Perlin-noise textures fall back
 to the pure-JAX path (`supports_pallas` returns False); everything else —
 spheres, quads, all 5 material families, solid/checker textures, sphere+quad
 MIS lights, defocus, motion blur, stratification — runs in-kernel.
+
+Two intersection strategies, chosen statically by scene size:
+  - unrolled (<=64 prims, Cornell class): Python-unrolled prim loop with
+    static SMEM scalar reads + masked-select material/texture gather.
+  - scan (up to 4096 prims, bouncing-spheres class): lax.fori_loop over prim
+    rows with dynamic SMEM scalar reads; the winner's fully-resolved material
+    row (type/fuzz/ior/texture colors) rides the intersection carry because
+    per-lane table gathers are not VPU ops.
 """
 from __future__ import annotations
 
@@ -56,9 +64,10 @@ T_MIN = 1e-3
 INV_4PI = 1.0 / (4.0 * math.pi)
 
 # ------------------------------------------------------------------ limits
-MAX_PRIMS = 64      # unrolled intersection loop bound
+MAX_PRIMS_UNROLL = 64   # fully unrolled intersection loop bound
+MAX_PRIMS_SCAN = 4096   # fori_loop prim scan bound (bouncing-spheres class)
 MAX_LIGHTS = 8
-MAX_MATS = 16
+MAX_MATS = 16           # unrolled masked-select material gather bound
 MAX_TEXS = 16
 
 
@@ -120,14 +129,11 @@ def supports_pallas(flat: FlatScene) -> bool:
     Reads table *values* — call outside jit (scene compile time)."""
     if flat.n_mediums > 0:
         return False
-    if flat.n_prims == 0 or flat.n_prims > MAX_PRIMS:
+    if flat.n_prims == 0 or flat.n_prims > MAX_PRIMS_SCAN:
         return False
     if flat.n_lights > MAX_LIGHTS:
         return False
     tex_type = np.asarray(flat.tex_type)
-    mat_type = np.asarray(flat.mat_type)
-    if len(mat_type) > MAX_MATS or len(tex_type) > MAX_TEXS:
-        return False
     if (tex_type == TEX_NOISE).any():
         return False
     # checker children must be solid (one nesting level, no noise)
@@ -136,6 +142,12 @@ def supports_pallas(flat: FlatScene) -> bool:
         if (tex_type[child][tex_type == TEX_CHECKER] != TEX_SOLID).any():
             return False
     return True
+
+
+def _use_unrolled(S, Q, NM, NT) -> bool:
+    """Static dispatch between the fully-unrolled Cornell-class kernel and
+    the fori_loop prim-scan kernel for large scenes."""
+    return S + Q <= MAX_PRIMS_UNROLL and NM <= MAX_MATS and NT <= MAX_TEXS
 
 
 def _pack_tables(flat: FlatScene):
@@ -175,17 +187,32 @@ def _pack_tables(flat: FlatScene):
     texf = jnp.concatenate([
         flat.tex_color, flat.tex_scale[:, None], is_chk[:, None],
         even_c, odd_c], axis=1)                                # (NT, 11)
-    return sphf, quadf, prim_mat, lightf, mati, matf, texf
+
+    # per-prim resolved material+texture row for the scan-mode kernel: TPU
+    # vector units cannot gather by per-lane index, so scan mode reads one
+    # fully-resolved scalar row per prim instead of indexing three tables
+    mt = prim_mat
+    primmatf = jnp.concatenate([
+        flat.mat_type[mt].astype(f32)[:, None],                # 0 type
+        flat.mat_fuzz[mt][:, None],                            # 1 fuzz
+        flat.mat_ior[mt][:, None],                             # 2 ior
+        is_chk[flat.mat_tex[mt]][:, None],                     # 3 is_checker
+        flat.tex_scale[flat.mat_tex[mt]][:, None],             # 4 scale
+        flat.tex_color[flat.mat_tex[mt]],                      # 5-7 color
+        even_c[flat.mat_tex[mt]],                              # 8-10 even
+        odd_c[flat.mat_tex[mt]],                               # 11-13 odd
+    ], axis=1)                                                 # (S+Q, 14)
+    return sphf, quadf, prim_mat, lightf, mati, matf, texf, primmatf
 
 
 # ------------------------------------------------------------- the kernel
 def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
-                 n_samples, sky_gradient):
+                 n_samples, sky_gradient, unroll_prims):
     n_prims = S + Q
 
     def kernel(pix_ref, fi_ref, fj_ref, iscal_ref, fscal_ref, sphf_ref,
                quadf_ref, pmat_ref, lightf_ref, mati_ref, matf_ref, texf_ref,
-               out_ref):
+               primmat_ref, out_ref):
         pix = pix_ref[:]                                     # (R,128) int32
         seed = iscal_ref[0].astype(jnp.uint32)
         sample_start_f = iscal_ref[1].astype(jnp.float32)
@@ -285,6 +312,106 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
             sgn = jnp.where(front, 1.0, -1.0)
             return hit, px, py, pz, nx * sgn, ny * sgn, nz * sgn, \
                 front, mat
+
+        # ------------------- closest hit, scan mode (fori_loop over prims)
+        def closest_hit_scan(ox, oy, oz, dx, dy, dz, tm):
+            """Large-scene variant: lax.fori_loop over prim rows with dynamic
+            scalar SMEM reads, gathering the winner's resolved material row
+            (primmat_ref) inline — per-lane table gathers are not vector ops
+            on the VPU, so material parameters ride the intersection carry."""
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+
+            def gather_mat(p, take, mats):
+                return tuple(
+                    jnp.where(take, primmat_ref[p, c], mats[c])
+                    for c in range(14))
+
+            def sph_body(p, cr):
+                best_t, nx, ny, nz, mats = cr
+                scx = sphf_ref[p, 0] + tm * sphf_ref[p, 3]
+                scy = sphf_ref[p, 1] + tm * sphf_ref[p, 4]
+                scz = sphf_ref[p, 2] + tm * sphf_ref[p, 5]
+                rad = sphf_ref[p, 6]
+                ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
+                h = _dot3(dx, dy, dz, ocx, ocy, ocz)
+                c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+                disc = h * h - a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r0 = (h - sq) * inv_a
+                r1 = (h + sq) * inv_a
+                in0 = (r0 > T_MIN) & (r0 < best_t)
+                in1 = (r1 > T_MIN) & (r1 < best_t)
+                t_p = jnp.where(in0, r0, r1)
+                take = ((disc > 0.0) & (in0 | in1)
+                        & (sphf_ref[p, 7] > 0.5) & (rad > 0.0))
+                inv_r = 1.0 / jnp.maximum(rad, 1e-12)
+                best_t = jnp.where(take, t_p, best_t)
+                nx = jnp.where(take, (ox + t_p * dx - scx) * inv_r, nx)
+                ny = jnp.where(take, (oy + t_p * dy - scy) * inv_r, ny)
+                nz = jnp.where(take, (oz + t_p * dz - scz) * inv_r, nz)
+                return best_t, nx, ny, nz, gather_mat(p, take, mats)
+
+            def quad_body(q, cr):
+                best_t, nx, ny, nz, mats = cr
+                qnx, qny, qnz = quadf_ref[q, 9], quadf_ref[q, 10], \
+                    quadf_ref[q, 11]
+                denom = _dot3(dx, dy, dz, qnx, qny, qnz)
+                par = jnp.abs(denom) < 1e-8
+                t_q = (quadf_ref[q, 12]
+                       - _dot3(ox, oy, oz, qnx, qny, qnz)) \
+                    / jnp.where(par, 1.0, denom)
+                hx = ox + t_q * dx - quadf_ref[q, 0]
+                hy = oy + t_q * dy - quadf_ref[q, 1]
+                hz = oz + t_q * dz - quadf_ref[q, 2]
+                c1 = _cross3(hx, hy, hz, quadf_ref[q, 6], quadf_ref[q, 7],
+                             quadf_ref[q, 8])
+                alpha = _dot3(quadf_ref[q, 13], quadf_ref[q, 14],
+                              quadf_ref[q, 15], *c1)
+                c2 = _cross3(quadf_ref[q, 3], quadf_ref[q, 4],
+                             quadf_ref[q, 5], hx, hy, hz)
+                beta = _dot3(quadf_ref[q, 13], quadf_ref[q, 14],
+                             quadf_ref[q, 15], *c2)
+                take = (~par & (alpha >= 0.0) & (alpha <= 1.0)
+                        & (beta >= 0.0) & (beta <= 1.0)
+                        & (t_q > T_MIN) & (t_q < best_t)
+                        & (quadf_ref[q, 17] > 0.5))
+                best_t = jnp.where(take, t_q, best_t)
+                nx = jnp.where(take, qnx + zero, nx)
+                ny = jnp.where(take, qny + zero, ny)
+                nz = jnp.where(take, qnz + zero, nz)
+                return best_t, nx, ny, nz, gather_mat(S + q, take, mats)
+
+            mats0 = tuple(zero for _ in range(14))
+            cr = (zero + BIG, zero, zero, zero, mats0)
+            if S:
+                cr = jax.lax.fori_loop(0, S, sph_body, cr)
+            if Q:
+                cr = jax.lax.fori_loop(0, Q, quad_body, cr)
+            best_t, nx, ny, nz, mats = cr
+            hit = best_t < BIG * 0.5
+            t_safe = jnp.where(hit, best_t, 1.0)
+            px = ox + t_safe * dx
+            py = oy + t_safe * dy
+            pz = oz + t_safe * dz
+            front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            return (hit, px, py, pz, nx * sgn, ny * sgn, nz * sgn, front,
+                    mats)
+
+        # --------------------- checker/solid color from resolved tex planes
+        def tex_eval_planes(is_chk_f, scale, cr, cg, cb, er, eg, eb,
+                            o_r, o_g, o_b, px, py, pz):
+            inv = 1.0 / jnp.maximum(scale, 1e-12)
+            fx = jnp.floor(inv * px).astype(jnp.int32)
+            fy = jnp.floor(inv * py).astype(jnp.int32)
+            fz = jnp.floor(inv * pz).astype(jnp.int32)
+            even = ((fx + fy + fz) & 1) == 0
+            chk = is_chk_f > 0.5
+            tr = jnp.where(chk, jnp.where(even, er, o_r), cr)
+            tg = jnp.where(chk, jnp.where(even, eg, o_g), cg)
+            tb = jnp.where(chk, jnp.where(even, eb, o_b), cb)
+            return tr, tg, tb
 
         # ----------------------------- texture color at (point, tex index)
         def texture_color(tex, px, py, pz):
@@ -474,8 +601,12 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
             u = _draws(k0, k1, k2,
                        jnp.uint32(0x4000000) + _f2u(b_f), N_DRAWS)
 
-            (hit, px, py, pz, nx, ny, nz, front,
-             mat) = closest_hit(ox, oy, oz, dx, dy, dz, tm)
+            if unroll_prims:
+                (hit, px, py, pz, nx, ny, nz, front,
+                 mat) = closest_hit(ox, oy, oz, dx, dy, dz, tm)
+            else:
+                (hit, px, py, pz, nx, ny, nz, front,
+                 mats) = closest_hit_scan(ox, oy, oz, dx, dy, dz, tm)
 
             # 1. miss -> background (Camera.cpp:242-243)
             if sky_gradient:
@@ -490,23 +621,31 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
             ry = ry + jnp.where(miss, thy * sby, 0.0)
             rz = rz + jnp.where(miss, thz * sbz, 0.0)
 
-            # gather material row (masked-select over NM rows)
-            mtype = jnp.zeros_like(mat)
-            mtex = jnp.zeros_like(mat)
-            fuzz = zero
-            ior = zero + 1.0
-            for m in range(NM):
-                sel = mat == m
-                mtype = jnp.where(sel, mati_ref[m, 0], mtype)
-                mtex = jnp.where(sel, mati_ref[m, 1], mtex)
-                fuzz = jnp.where(sel, matf_ref[m, 0], fuzz)
-                ior = jnp.where(sel, matf_ref[m, 1], ior)
-            tr, tg, tb = texture_color(mtex, px, py, pz)
-
-            is_light = mtype == MAT_DIFFUSE_LIGHT
-            is_metal = mtype == MAT_METAL
-            is_diel = mtype == MAT_DIELECTRIC
-            is_iso = mtype == MAT_ISOTROPIC
+            if unroll_prims:
+                # gather material row (masked-select over NM rows)
+                mtype = jnp.zeros_like(mat)
+                mtex = jnp.zeros_like(mat)
+                fuzz = zero
+                ior = zero + 1.0
+                for m in range(NM):
+                    sel = mat == m
+                    mtype = jnp.where(sel, mati_ref[m, 0], mtype)
+                    mtex = jnp.where(sel, mati_ref[m, 1], mtex)
+                    fuzz = jnp.where(sel, matf_ref[m, 0], fuzz)
+                    ior = jnp.where(sel, matf_ref[m, 1], ior)
+                tr, tg, tb = texture_color(mtex, px, py, pz)
+                is_light = mtype == MAT_DIFFUSE_LIGHT
+                is_metal = mtype == MAT_METAL
+                is_diel = mtype == MAT_DIELECTRIC
+                is_iso = mtype == MAT_ISOTROPIC
+            else:
+                mtype_f, fuzz, ior = mats[0], mats[1], mats[2]
+                ior = jnp.where(ior == 0.0, 1.0, ior)  # padded rows
+                tr, tg, tb = tex_eval_planes(*mats[3:14], px, py, pz)
+                is_light = mtype_f == float(MAT_DIFFUSE_LIGHT)
+                is_metal = mtype_f == float(MAT_METAL)
+                is_diel = mtype_f == float(MAT_DIELECTRIC)
+                is_iso = mtype_f == float(MAT_ISOTROPIC)
 
             # 2. emitted (front faces only, DiffuseLightMaterial.cpp:12-23)
             live_hit = alive & hit
@@ -664,8 +803,14 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     S = flat.sph_center.shape[0]
     Q = flat.quad_corner.shape[0]
     L = flat.n_lights
-    sphf, quadf, prim_mat, lightf, mati, matf, texf = _pack_tables(flat)
+    (sphf, quadf, prim_mat, lightf, mati, matf, texf,
+     primmatf) = _pack_tables(flat)
     lightf = lightf[:max(L, 1)]
+    unroll = _use_unrolled(S, Q, int(mati.shape[0]), int(texf.shape[0]))
+    if unroll:
+        primmatf = primmatf[:1]        # scan tables unused; keep SMEM slim
+    else:
+        mati, matf, texf = mati[:1], matf[:1], texf[:1]
 
     n_pix = width * height
     R = rows_per_tile
@@ -688,7 +833,7 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     kernel = _make_kernel(
         S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=int(texf.shape[0]), R=R,
         width=width, n_pix=n_pix, n_strata=n_strata, max_depth=max_depth,
-        n_samples=n_samples, sky_gradient=sky_gradient)
+        n_samples=n_samples, sky_gradient=sky_gradient, unroll_prims=unroll)
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -699,14 +844,14 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         in_specs=[
             tile_spec(), tile_spec(), tile_spec(),
             smem(), smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-            smem(),
+            smem(), smem(),
         ],
         out_specs=pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n_tiles * R, lane), jnp.float32),
         interpret=interpret,
     )(pix, fi, fj, iscal, fscal, sphf, quadf, prim_mat, lightf, mati, matf,
-      texf)
+      texf, primmatf)
 
     img = out.reshape(3, n_tiles * rays_per_tile)[:, :n_pix]
     return jnp.moveaxis(img, 0, -1).reshape(height, width, 3)

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="samples per pixel (reference default 100)")
     p.add_argument("--depth", type=int, default=None,
                    help="max bounce depth (reference default 50)")
+    p.add_argument("--engine", choices=["auto", "pallas", "jax"],
+                   default="auto",
+                   help="compute path: fused Pallas megakernel or pure-JAX "
+                        "wavefront (auto: pallas on TPU when supported)")
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
     p.add_argument("--checkpoint", default=None,
                    help="dynamic mode: save/resume accumulation state (.npz)")
@@ -104,13 +108,15 @@ def main(argv=None) -> int:
             img = render_on_mesh(scene, use_bvh=args.bvh, seed=args.seed)
         else:
             img = rt.render(scene, use_bvh=args.bvh, seed=args.seed,
+                            engine=args.engine,
                             progress=lambda s, t: print(
                                 f"\r[INFO] sample {s}/{t}", end="",
                                 file=sys.stderr))
             print(file=sys.stderr)
         write_ppm(out_path, img)
     else:
-        prog = rt.ProgressiveRenderer(scene, use_bvh=args.bvh, seed=args.seed)
+        prog = rt.ProgressiveRenderer(scene, use_bvh=args.bvh, seed=args.seed,
+                                      engine=args.engine)
         if args.checkpoint and os.path.exists(args.checkpoint):
             prog.load(args.checkpoint)
             print(f"[INFO] resumed at {prog.samples_taken} samples",

@@ -81,6 +81,49 @@ def test_materials_scene_matches_oracle():
     _assert_close(img_p, img_j)
 
 
+def test_scan_mode_matches_oracle():
+    """>64 prims / >16 materials selects the fori_loop prim-scan kernel
+    (dynamic SMEM reads + material row riding the intersection carry)."""
+    from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import \
+        _use_unrolled
+    rng = np.random.default_rng(1)
+    objs = []
+    for i in range(70):
+        c = tuple(map(float, rng.uniform(-4, 4, 3)))
+        albedo = tuple(map(float, rng.uniform(0.2, 0.9, 3)))
+        m = (rt.Lambertian(rt.SolidColor(albedo)) if i % 3
+             else rt.Metal(albedo, fuzz=0.2))
+        objs.append(rt.Sphere(c, 0.4, m))
+    objs.append(rt.Sphere(
+        (0, -1000, 0), 996.0,
+        rt.Lambertian(rt.Checker(2.0, rt.SolidColor((0.1, 0.1, 0.1)),
+                                 rt.SolidColor((0.9, 0.9, 0.9))))))
+    light = rt.Sphere((0, 8, 0), 2.0,
+                      rt.DiffuseLight(rt.SolidColor((5, 5, 5))))
+    objs.append(light)
+    scene = rt.Scene(objects=objs, lights=[light],
+                     camera=rt.CameraConfig(
+                         image_width=48, aspect_ratio=1.0,
+                         samples_per_pixel=4, max_depth=4, vfov=40,
+                         lookfrom=(0, 2, 10), lookat=(0, 0, 0),
+                         background=(0.5, 0.6, 0.8)))
+    flat = compile_scene(scene)
+    assert not _use_unrolled(flat.sph_center.shape[0],
+                             flat.quad_corner.shape[0],
+                             flat.mat_type.shape[0], flat.tex_type.shape[0])
+    assert supports_pallas(flat)
+    img_p, img_j = _compare(scene)
+    _assert_close(img_p, img_j)
+
+
+def test_bouncing_spheres_supported():
+    """The second reference driver scene (485 prims, ~460 materials,
+    main.cpp:73-131) is inside the scan-mode gate."""
+    flat = compile_scene(builders.bouncing_spheres())
+    assert flat.n_prims > 64
+    assert supports_pallas(flat)
+
+
 def test_supports_gate():
     cornell = compile_scene(builders.cornell_box())
     assert supports_pallas(cornell)
