@@ -794,11 +794,15 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                        width: int, height: int, n_strata: int,
                        max_depth: int, n_samples: int,
                        sky_gradient: bool = False, rows_per_tile: int = 64,
-                       interpret: bool = False):
+                       interpret: bool = False, row0=0):
     """Sum of n_samples stratified samples, (height, width, 3) — fused kernel.
 
     Drop-in replacement for models.render._render_pass (same RNG streams,
     same estimator; see module docstring for the feature gate).
+
+    row0 (traced int) offsets pixel ids by row0*width: a mesh shard renders
+    its local `height` rows with ABSOLUTE pixel ids, so per-(pixel, sample)
+    RNG streams — and the image — are invariant to the mesh layout.
     """
     S = flat.sph_center.shape[0]
     Q = flat.quad_corner.shape[0]
@@ -817,11 +821,14 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     lane = 128
     rays_per_tile = R * lane
     n_tiles = -(-n_pix // rays_per_tile)
-    pix_flat = jnp.minimum(
+    base = jnp.minimum(
         jnp.arange(n_tiles * rays_per_tile, dtype=jnp.int32), n_pix - 1)
+    row0 = jnp.asarray(row0, jnp.int32)
+    pix_flat = base + row0 * width
     pix = pix_flat.reshape(n_tiles * R, lane)
-    fi = (pix_flat % width).astype(jnp.float32).reshape(n_tiles * R, lane)
-    fj = (pix_flat // width).astype(jnp.float32).reshape(n_tiles * R, lane)
+    fi = (base % width).astype(jnp.float32).reshape(n_tiles * R, lane)
+    fj = ((base // width).astype(jnp.float32)
+          + row0.astype(jnp.float32)).reshape(n_tiles * R, lane)
 
     iscal = jnp.stack([jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
                        jnp.asarray(sample_start, jnp.int32)])

@@ -74,13 +74,16 @@ def _tile_sample_render(flat: FlatScene, cam, seed, *, width, height_local,
 
 
 @partial(jax.jit, static_argnames=("mesh", "width", "height", "n_strata",
-                                   "max_depth", "sky_gradient"))
+                                   "max_depth", "sky_gradient", "engine"))
 def render_sharded(flat: FlatScene, cam, seed, *, mesh: Mesh, width: int,
                    height: int, n_strata: int, max_depth: int,
-                   sky_gradient: bool):
+                   sky_gradient: bool, engine: str = "jax"):
     """Full image, sharded (rows over "tile") x (samples over "sample").
 
     Returns the averaged (height, width, 3) image, sharded over rows.
+    engine="pallas" runs the fused wavefront megakernel per shard (absolute
+    pixel ids via its row0 offset keep the image mesh-layout-invariant);
+    "jax" (default) is the differentiable path used by parallel/train.py.
     """
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
@@ -89,27 +92,39 @@ def render_sharded(flat: FlatScene, cam, seed, *, mesh: Mesh, width: int,
     assert total_spp % n_sample == 0, (total_spp, n_sample)
     h_local = height // n_tile
     spp_local = total_spp // n_sample
+    if engine == "pallas":
+        from ..ops.wavefront_pallas import render_pass_pallas
+        interp = jax.default_backend() == "cpu"
 
     def shard_fn(flat, cam, seed):
         t = jax.lax.axis_index("tile")
         s = jax.lax.axis_index("sample")
-        acc = _tile_sample_render(
-            flat, cam, seed, width=width, height_local=h_local,
-            row0=t * h_local, n_strata=n_strata, spp_local=spp_local,
-            sample0=s * spp_local, max_depth=max_depth,
-            sky_gradient=sky_gradient)
+        if engine == "pallas":
+            acc = render_pass_pallas(
+                flat, cam, seed, s * spp_local, width=width, height=h_local,
+                n_strata=n_strata, max_depth=max_depth,
+                n_samples=spp_local, sky_gradient=sky_gradient,
+                interpret=interp, row0=t * h_local)
+        else:
+            acc = _tile_sample_render(
+                flat, cam, seed, width=width, height_local=h_local,
+                row0=t * h_local, n_strata=n_strata, spp_local=spp_local,
+                sample0=s * spp_local, max_depth=max_depth,
+                sky_gradient=sky_gradient)
         # merge sample partials (the atomicAdd analogue) and average
         return jax.lax.psum(acc, "sample") / total_spp
 
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, and the engines must share one shard_map signature
     return jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=P("tile"))(flat, cam, seed)
+        out_specs=P("tile"), check_vma=False)(flat, cam, seed)
 
 
 def render_on_mesh(scene: Scene | FlatScene, cfg: CameraConfig | None = None,
                    *, mesh: Mesh | None = None, seed: int = 0,
-                   use_bvh: bool = False):
+                   use_bvh: bool = False, engine: str = "auto"):
     """Convenience wrapper: compile scene, pad height to the mesh, render."""
     if isinstance(scene, Scene):
         cfg = cfg or scene.camera
@@ -117,6 +132,8 @@ def render_on_mesh(scene: Scene | FlatScene, cfg: CameraConfig | None = None,
     else:
         assert cfg is not None
         flat = scene
+    from ..models.render import pick_engine
+    engine = pick_engine(flat, engine)
     mesh = mesh or make_render_mesh()
     width, height = cam_mod.image_size(cfg)
     n_tile = mesh.shape["tile"]
@@ -128,5 +145,5 @@ def render_on_mesh(scene: Scene | FlatScene, cfg: CameraConfig | None = None,
     img = render_sharded(flat, cam_mod.derive(cfg), seed, mesh=mesh,
                          width=width, height=hp, n_strata=n_strata,
                          max_depth=cfg.max_depth,
-                         sky_gradient=cfg.sky_gradient)
+                         sky_gradient=cfg.sky_gradient, engine=engine)
     return img[:height]

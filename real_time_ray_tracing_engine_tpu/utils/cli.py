@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dynamic mode: save/resume accumulation state (.npz)")
     p.add_argument("--frames", type=int, default=None,
                    help="dynamic mode: max strata to accumulate this run")
+    p.add_argument("--view", action="store_true",
+                   help="dynamic mode: live ANSI terminal display with WASD "
+                        "camera movement (the SDL-window analogue)")
     return p
 
 
@@ -105,7 +108,8 @@ def main(argv=None) -> int:
     if args.camera == "static":
         if args.parallel:
             from ..parallel.mesh import render_on_mesh
-            img = render_on_mesh(scene, use_bvh=args.bvh, seed=args.seed)
+            img = render_on_mesh(scene, use_bvh=args.bvh, seed=args.seed,
+                                 engine=args.engine)
         else:
             img = rt.render(scene, use_bvh=args.bvh, seed=args.seed,
                             engine=args.engine,
@@ -114,6 +118,12 @@ def main(argv=None) -> int:
                                 file=sys.stderr))
             print(file=sys.stderr)
         write_ppm(out_path, img)
+    elif args.view:
+        from ..models.viewer import run_viewer
+        prog = run_viewer(scene, use_bvh=args.bvh, seed=args.seed,
+                          engine=args.engine, max_frames=args.frames,
+                          checkpoint=args.checkpoint)
+        write_ppm(out_path, prog.image())
     else:
         prog = rt.ProgressiveRenderer(scene, use_bvh=args.bvh, seed=args.seed,
                                       engine=args.engine)

@@ -153,6 +153,27 @@ def test_pick_engine_auto_on_cpu_is_jax():
         pick_engine(smoke, "pallas")
 
 
+def test_sharded_pallas_matches_sharded_jax():
+    """Pallas engine under shard_map on the 8-device CPU mesh: absolute
+    pixel ids via row0 keep RNG streams mesh-layout-invariant, so the two
+    engines agree shard-for-shard."""
+    from real_time_ray_tracing_engine_tpu.parallel.mesh import (
+        make_render_mesh, render_sharded)
+    scene = builders.cornell_box()
+    scene.camera.image_width = 32
+    flat = compile_scene(scene)
+    cam = cam_mod.derive(scene.camera)
+    mesh = make_render_mesh(n_tile=4, n_sample=2)
+    kw = dict(mesh=mesh, width=32, height=32, n_strata=2, max_depth=3,
+              sky_gradient=False)
+    img_p = np.asarray(render_sharded(flat, cam, 0, engine="pallas", **kw))
+    img_j = np.asarray(render_sharded(flat, cam, 0, engine="jax", **kw))
+    assert np.isfinite(img_p).all()
+    diff = np.abs(img_p - img_j)
+    assert (diff > 1e-3).mean() < 0.01
+    assert abs(img_p.mean() - img_j.mean()) < 2e-3
+
+
 def test_progressive_stratum_equals_batch_sample():
     """One n_samples=2 pass == two n_samples=1 passes (regeneration keeps
     per-(pixel,sample) streams intact)."""
