@@ -793,7 +793,7 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
 def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                        width: int, height: int, n_strata: int,
                        max_depth: int, n_samples: int,
-                       sky_gradient: bool = False, rows_per_tile: int = 64,
+                       sky_gradient: bool = False, rows_per_tile: int = 32,
                        interpret: bool = False, row0=0):
     """Sum of n_samples stratified samples, (height, width, 3) — fused kernel.
 
