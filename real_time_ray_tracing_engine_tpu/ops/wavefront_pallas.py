@@ -69,6 +69,20 @@ MAX_PRIMS_SCAN = 4096   # fori_loop prim scan bound (bouncing-spheres class)
 MAX_LIGHTS = 8
 MAX_MATS = 16           # unrolled masked-select material gather bound
 MAX_TEXS = 16
+CLUSTER = 16            # prims per culling cluster in scan mode
+
+
+def _morton3(x, y, z):
+    """30-bit Morton code from 10-bit quantized coords (uint32 planes/vec)."""
+    def spread(v):
+        v = v & jnp.uint32(0x3FF)
+        v = (v | (v << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+        v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+        v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+        v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x09249249)
+        return v
+    return (spread(x) << jnp.uint32(2)) | (spread(y) << jnp.uint32(1)) \
+        | spread(z)
 
 
 # ------------------------------------------------------- plane-vector math
@@ -150,6 +164,48 @@ def _use_unrolled(S, Q, NM, NT) -> bool:
     return S + Q <= MAX_PRIMS_UNROLL and NM <= MAX_MATS and NT <= MAX_TEXS
 
 
+def _cluster_spheres(sphf, primmat_s):
+    """Morton-sort sphere rows and build per-cluster AABBs for scan-mode
+    culling (traced jnp; the permutation is data-dependent, which is fine —
+    only shapes must be static).
+
+    Returns (sphf_sorted_padded, primmat_sorted_padded, cbox (K, 6)) or
+    (sphf, primmat_s, None) when the scene is too small to bother. Inactive
+    rows (padding, light-only geometry) sort to the end with empty boxes, so
+    their clusters always fail the slab test.
+    """
+    S = sphf.shape[0]
+    if S <= 2 * CLUSTER:
+        return sphf, primmat_s, None
+    c0, cd, r = sphf[:, 0:3], sphf[:, 3:6], sphf[:, 6:7]
+    active = sphf[:, 7:8] > 0.5
+    lo = jnp.minimum(c0, c0 + cd) - r          # motion-swept sphere bbox
+    hi = jnp.maximum(c0, c0 + cd) + r
+    mid = 0.5 * (lo + hi)
+    wmin = jnp.min(jnp.where(active, mid, BIG), axis=0)
+    wmax = jnp.max(jnp.where(active, mid, -BIG), axis=0)
+    scale = 1023.0 / jnp.maximum(wmax - wmin, 1e-6)
+    q = jnp.clip((mid - wmin) * scale, 0.0, 1023.0).astype(jnp.uint32)
+    code = _morton3(q[:, 0], q[:, 1], q[:, 2])
+    code = jnp.where(active[:, 0], code, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(code)
+    sphf, primmat_s = sphf[perm], primmat_s[perm]
+    lo, hi, active = lo[perm], hi[perm], active[perm]
+    pad = (-S) % CLUSTER
+    if pad:
+        sphf = jnp.pad(sphf, ((0, pad), (0, 0)))
+        primmat_s = jnp.pad(primmat_s, ((0, pad), (0, 0)))
+        lo = jnp.pad(lo, ((0, pad), (0, 0)))
+        hi = jnp.pad(hi, ((0, pad), (0, 0)))
+        active = jnp.pad(active, ((0, pad), (0, 0)))
+    lo = jnp.where(active, lo, BIG)
+    hi = jnp.where(active, hi, -BIG)
+    k = sphf.shape[0] // CLUSTER
+    cbox = jnp.concatenate([lo.reshape(k, CLUSTER, 3).min(axis=1),
+                            hi.reshape(k, CLUSTER, 3).max(axis=1)], axis=1)
+    return sphf, primmat_s, cbox
+
+
 def _pack_tables(flat: FlatScene):
     """Gather the FlatScene into kernel-ready SMEM tables (traced jnp ops)."""
     f32 = jnp.float32
@@ -207,12 +263,12 @@ def _pack_tables(flat: FlatScene):
 
 # ------------------------------------------------------------- the kernel
 def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
-                 n_samples, sky_gradient, unroll_prims):
+                 n_samples, sky_gradient, unroll_prims, n_clusters):
     n_prims = S + Q
 
     def kernel(pix_ref, fi_ref, fj_ref, iscal_ref, fscal_ref, sphf_ref,
                quadf_ref, pmat_ref, lightf_ref, mati_ref, matf_ref, texf_ref,
-               primmat_ref, out_ref):
+               primmat_ref, csph_ref, out_ref):
         pix = pix_ref[:]                                     # (R,128) int32
         seed = iscal_ref[0].astype(jnp.uint32)
         sample_start_f = iscal_ref[1].astype(jnp.float32)
@@ -314,11 +370,16 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
                 front, mat
 
         # ------------------- closest hit, scan mode (fori_loop over prims)
-        def closest_hit_scan(ox, oy, oz, dx, dy, dz, tm):
+        def closest_hit_scan(ox, oy, oz, dx, dy, dz, tm, alive):
             """Large-scene variant: lax.fori_loop over prim rows with dynamic
             scalar SMEM reads, gathering the winner's resolved material row
             (primmat_ref) inline — per-lane table gathers are not vector ops
-            on the VPU, so material parameters ride the intersection carry."""
+            on the VPU, so material parameters ride the intersection carry.
+
+            With n_clusters > 0, Morton-ordered sphere clusters are culled by
+            a whole-tile slab test: a cluster whose AABB no live lane can hit
+            is skipped via lax.cond — divergence-free culling in place of the
+            reference's per-ray BVH descent (BVHNode.cpp:385-446)."""
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
 
@@ -384,7 +445,43 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
 
             mats0 = tuple(zero for _ in range(14))
             cr = (zero + BIG, zero, zero, zero, mats0)
-            if S:
+            if n_clusters:
+                # guarded reciprocal for the slab test (AABB.cpp:62-165)
+                eps = 1e-12
+                idx = 1.0 / jnp.where(jnp.abs(dx) < eps,
+                                      jnp.where(dx < 0, -eps, eps), dx)
+                idy = 1.0 / jnp.where(jnp.abs(dy) < eps,
+                                      jnp.where(dy < 0, -eps, eps), dy)
+                idz = 1.0 / jnp.where(jnp.abs(dz) < eps,
+                                      jnp.where(dz < 0, -eps, eps), dz)
+
+                def cluster_body(k, cr):
+                    best_t = cr[0]
+                    t0x = (csph_ref[k, 0] - ox) * idx
+                    t1x = (csph_ref[k, 3] - ox) * idx
+                    t0y = (csph_ref[k, 1] - oy) * idy
+                    t1y = (csph_ref[k, 4] - oy) * idy
+                    t0z = (csph_ref[k, 2] - oz) * idz
+                    t1z = (csph_ref[k, 5] - oz) * idz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), T_MIN))
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+                    want = alive & (tn <= tf)
+                    any_hit = jnp.sum(jnp.where(want, 1.0, 0.0)) > 0.0
+                    return jax.lax.cond(
+                        any_hit,
+                        lambda c: jax.lax.fori_loop(
+                            k * CLUSTER, (k + 1) * CLUSTER, sph_body, c),
+                        lambda c: c,
+                        cr)
+
+                cr = jax.lax.fori_loop(0, n_clusters, cluster_body, cr)
+            elif S:
                 cr = jax.lax.fori_loop(0, S, sph_body, cr)
             if Q:
                 cr = jax.lax.fori_loop(0, Q, quad_body, cr)
@@ -606,7 +703,7 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
                  mat) = closest_hit(ox, oy, oz, dx, dy, dz, tm)
             else:
                 (hit, px, py, pz, nx, ny, nz, front,
-                 mats) = closest_hit_scan(ox, oy, oz, dx, dy, dz, tm)
+                 mats) = closest_hit_scan(ox, oy, oz, dx, dy, dz, tm, alive)
 
             # 1. miss -> background (Camera.cpp:242-243)
             if sky_gradient:
@@ -811,10 +908,18 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
      primmatf) = _pack_tables(flat)
     lightf = lightf[:max(L, 1)]
     unroll = _use_unrolled(S, Q, int(mati.shape[0]), int(texf.shape[0]))
+    csph = jnp.zeros((1, 6), jnp.float32)
+    n_clusters = 0
     if unroll:
         primmatf = primmatf[:1]        # scan tables unused; keep SMEM slim
     else:
         mati, matf, texf = mati[:1], matf[:1], texf[:1]
+        sphf, pm_s, cbox = _cluster_spheres(sphf, primmatf[:S])
+        if cbox is not None:
+            primmatf = jnp.concatenate([pm_s, primmatf[S:]], axis=0)
+            S = sphf.shape[0]          # padded to a CLUSTER multiple
+            csph = cbox
+            n_clusters = int(cbox.shape[0])
 
     n_pix = width * height
     R = rows_per_tile
@@ -840,7 +945,8 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     kernel = _make_kernel(
         S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=int(texf.shape[0]), R=R,
         width=width, n_pix=n_pix, n_strata=n_strata, max_depth=max_depth,
-        n_samples=n_samples, sky_gradient=sky_gradient, unroll_prims=unroll)
+        n_samples=n_samples, sky_gradient=sky_gradient, unroll_prims=unroll,
+        n_clusters=n_clusters)
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -851,14 +957,14 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         in_specs=[
             tile_spec(), tile_spec(), tile_spec(),
             smem(), smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-            smem(), smem(),
+            smem(), smem(), smem(),
         ],
         out_specs=pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n_tiles * R, lane), jnp.float32),
         interpret=interpret,
     )(pix, fi, fj, iscal, fscal, sphf, quadf, prim_mat, lightf, mati, matf,
-      texf, primmatf)
+      texf, primmatf, csph)
 
     img = out.reshape(3, n_tiles * rays_per_tile)[:, :n_pix]
     return jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
