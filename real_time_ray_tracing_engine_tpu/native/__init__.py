@@ -32,4 +32,24 @@ def load_bvh_lib():
         i32, ctypes.POINTER(ctypes.c_int32),       # prims, n_prims_out
         ctypes.c_int32,                            # max_nodes
     ]
+    if hasattr(lib, "rtx_encode_ppm_p3"):
+        lib.rtx_encode_ppm_p3.restype = ctypes.c_int64
+        lib.rtx_encode_ppm_p3.argtypes = [
+            u8, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
     return lib
+
+
+def encode_ppm_p3(rgb_bytes) -> bytes | None:
+    """Encode (N, 3) uint8 pixels as P3 body text via the native encoder;
+    None when the library (or the symbol) is unavailable."""
+    import numpy as np
+    lib = load_bvh_lib()
+    if lib is None or not hasattr(lib, "rtx_encode_ppm_p3"):
+        return None
+    flat = np.ascontiguousarray(rgb_bytes, np.uint8).reshape(-1, 3)
+    n = flat.shape[0]
+    buf = ctypes.create_string_buffer(n * 12 + 1)
+    written = lib.rtx_encode_ppm_p3(flat, n, buf, len(buf))
+    if written < 0:
+        return None
+    return buf.raw[:written]

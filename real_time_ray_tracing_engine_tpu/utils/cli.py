@@ -99,10 +99,13 @@ def main(argv=None) -> int:
     if args.debug:
         os.makedirs("logs", exist_ok=True)
         from ..scene.compile import compile_scene, golden_json
+        from ..scene.analyze import dump_report
         flat = compile_scene(scene, use_bvh=args.bvh)
         with open("logs/flat_scene_debug.json", "w") as f:
             f.write(golden_json(flat))
-        print("[DEBUG] wrote logs/flat_scene_debug.json", file=sys.stderr)
+        dump_report(scene, flat, "logs/scene_complexity_debug.txt")
+        print("[DEBUG] wrote logs/flat_scene_debug.json and "
+              "logs/scene_complexity_debug.txt", file=sys.stderr)
 
     t0 = time.time()
     if args.camera == "static":

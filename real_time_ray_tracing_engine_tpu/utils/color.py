@@ -7,6 +7,7 @@ Byte-comparable with the reference's output path: gamma-2 (sqrt) conversion
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -15,6 +16,7 @@ def linear_to_gamma(c):
     return jnp.sqrt(jnp.maximum(c, 0.0))
 
 
+@jax.jit
 def to_bytes(img):
     """(H, W, 3) linear float image -> (H, W, 3) uint8, reference clamp rule."""
     g = linear_to_gamma(img)
@@ -22,14 +24,22 @@ def to_bytes(img):
 
 
 def write_ppm(path, img):
-    """Write a linear float (H, W, 3) image as P3 ASCII PPM."""
+    """Write a linear float (H, W, 3) image as P3 ASCII PPM.
+
+    One "r g b" triple per line, matching the reference's write_color
+    (ColorUtility.hpp:30-37, header StaticCamera.cpp:57). Uses the native
+    C++ encoder when built (native/ppm_io.cpp, ~100x numpy.savetxt)."""
     b = np.asarray(to_bytes(img))
     h, w, _ = b.shape
-    flat = b.reshape(-1, 3)
-    with open(path, "w") as f:
-        f.write(f"P3\n{w} {h}\n255\n")
-        # One "r g b" triple per line, matching ColorUtility.hpp:30-37.
-        np.savetxt(f, flat, fmt="%d")
+    from ..native import encode_ppm_p3
+    body = encode_ppm_p3(b)
+    with open(path, "wb") as f:
+        f.write(f"P3\n{w} {h}\n255\n".encode())
+        if body is not None:
+            f.write(body)
+        else:
+            rows = b.reshape(-1, 3).astype(str)
+            f.write("\n".join(" ".join(r) for r in rows).encode() + b"\n")
 
 
 def read_ppm(path):

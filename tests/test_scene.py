@@ -108,3 +108,24 @@ def test_ppm_bytes_rule():
     assert b[0, 0, 0] == 0
     assert b[0, 0, 1] == int(256 * 0.5)
     assert b[0, 0, 2] == int(256 * 0.999)
+
+
+def test_scene_complexity_analyzer(tmp_path):
+    """Analyzer parity with the reference's scene complexity dump
+    (CudaSceneInitialization.cuh:74-246): object counts, compiled table
+    accounting, and a readable report file."""
+    from real_time_ray_tracing_engine_tpu.scene import builders
+    from real_time_ray_tracing_engine_tpu.scene.compile import compile_scene
+    from real_time_ray_tracing_engine_tpu.scene.analyze import (analyze,
+                                                                dump_report)
+    scene = builders.cornell_box()
+    flat = compile_scene(scene, use_bvh=True)
+    rep = analyze(scene, flat)
+    assert rep["objects"]["Quad"] >= 5          # walls + light
+    assert rep["compiled"]["n_quads"] >= 11     # + box faces
+    assert rep["compiled"]["bvh_nodes"] > 0
+    assert rep["compiled"]["device_bytes"] > 0
+    path = str(tmp_path / "complexity.txt")
+    text = dump_report(scene, flat, path)
+    assert "Scene Complexity" in text and "device memory" in text
+    assert open(path).read() == text
