@@ -27,8 +27,8 @@ import jax.numpy as jnp
 def main():
     import real_time_ray_tracing_engine_tpu as rt
     from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
-    from real_time_ray_tracing_engine_tpu.models.render import (_render_pass,
-                                                                pick_engine)
+    from real_time_ray_tracing_engine_tpu.models.render import (
+        baked_render_pass, pick_engine)
     from real_time_ray_tracing_engine_tpu.scene.compile import compile_scene
 
     width = int(os.environ.get("BENCH_WIDTH", "600"))
@@ -53,10 +53,10 @@ def main():
                 width=w, height=h, n_strata=10, max_depth=depth,
                 n_samples=spp, sky_gradient=False,
                 interpret=jax.default_backend() == "cpu")
-        return _render_pass(
-            flat, cam, seed, jnp.asarray(sample_start, jnp.int32),
-            width=w, height=h, tile_rows=min(h, 120), n_strata=10,
+        fn = baked_render_pass(
+            flat, width=w, height=h, tile_rows=min(h, 120), n_strata=10,
             max_depth=depth, sky_gradient=False, n_samples=spp)
+        return fn(cam, seed, jnp.asarray(sample_start, jnp.int32))
 
     out = np.asarray(run(0))                      # warmup/compile + fetch
     assert np.isfinite(out).all(), "non-finite radiance"

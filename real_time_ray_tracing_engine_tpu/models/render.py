@@ -32,6 +32,31 @@ def default_tile_rows(width: int, height: int, n_prims: int) -> int:
     return int(min(rows, height))
 
 
+# Scene-baked pass cache: on TPU, XLA runs the integrator ~11x faster when
+# the scene tables are compile-time CONSTANTS (folded gathers/selects) than
+# when they are traced arguments. Rendering recompiles per scene — the exact
+# analogue of the reference's scene-to-device compile pass
+# (CudaSceneInitialization.cuh:249). Keyed by object identity + statics; the
+# cache holds the FlatScene alive so ids cannot be reused.
+_BAKED_CACHE: dict = {}
+
+
+def baked_render_pass(flat: FlatScene, **statics):
+    """jitted (cam, seed, sample_start) -> radiance-sum image with `flat`
+    closed over as constants. statics = _render_pass's keyword args."""
+    key = (id(flat), tuple(sorted(statics.items())))
+    hit = _BAKED_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+
+    @jax.jit
+    def fn(cam, seed, sample_start):
+        return _render_pass(flat, cam, seed, sample_start, **statics)
+
+    _BAKED_CACHE[key] = (flat, fn)
+    return fn
+
+
 @partial(jax.jit, static_argnames=("width", "height", "tile_rows",
                                    "n_strata", "max_depth", "sky_gradient",
                                    "n_samples"))
@@ -132,10 +157,11 @@ def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
                 n_strata=n_strata, max_depth=cfg.max_depth, n_samples=k,
                 sky_gradient=cfg.sky_gradient, interpret=interp)
         else:
-            acc = acc + _render_pass(
-                flat, cam, seed, s, width=width, height=height, tile_rows=tr,
+            pass_fn = baked_render_pass(
+                flat, width=width, height=height, tile_rows=tr,
                 n_strata=n_strata, max_depth=cfg.max_depth,
                 sky_gradient=cfg.sky_gradient, n_samples=k)
+            acc = acc + pass_fn(cam, seed, s)
         s += k
         if progress is not None:
             progress(s, total)
@@ -189,12 +215,13 @@ class ProgressiveRenderer:
                 n_samples=1, sky_gradient=self.cfg.sky_gradient,
                 interpret=_jax.default_backend() == "cpu")
         else:
-            self.acc = self.acc + _render_pass(
-                self.flat, self.cam, self.seed, self.samples_taken,
-                width=self.width, height=self.height,
+            pass_fn = baked_render_pass(
+                self.flat, width=self.width, height=self.height,
                 tile_rows=self.tile_rows, n_strata=self.n_strata,
                 max_depth=self.cfg.max_depth,
                 sky_gradient=self.cfg.sky_gradient, n_samples=1)
+            self.acc = self.acc + pass_fn(self.cam, self.seed,
+                                          self.samples_taken)
         self.samples_taken += 1
         return True
 

@@ -33,6 +33,29 @@ class HitRecord:
 
 
 # --------------------------------------------------------------- spheres
+#
+# All (rays x prims) math below is written in COMPONENT form: (N, S) planes
+# built from (N, 1) x (1, S) broadcasts, never (N, S, 3) tensors or einsum
+# contractions. With the scene tables as traced jit arguments, XLA
+# materializes (N, S, 3) dot_general operands to HBM — measured 190 GB of
+# traffic for a depth-8 600px Cornell pass vs 19 GB in component form (and
+# fp32 FMA chains are exact, unlike bf16-default einsum; see vecmath.edot).
+def _sphere_quadratic(center, cdelta, radius, org, dr, tm):
+    """h, c, a for the sphere quadratic, all (N, S) / (N, 1) planes."""
+    tmn = tm[:, None]
+    cx = center[None, :, 0] + tmn * cdelta[None, :, 0]
+    cy = center[None, :, 1] + tmn * cdelta[None, :, 1]
+    cz = center[None, :, 2] + tmn * cdelta[None, :, 2]
+    ocx = cx - org[:, 0:1]
+    ocy = cy - org[:, 1:2]
+    ocz = cz - org[:, 2:3]
+    a = dot(dr, dr)[:, None]
+    h = dr[:, 0:1] * ocx + dr[:, 1:2] * ocy + dr[:, 2:3] * ocz
+    c = (ocx * ocx + ocy * ocy + ocz * ocz
+         - (radius * radius)[None, :])
+    return h, c, a
+
+
 def sphere_ts(center, cdelta, radius, active, org, dr, tm, t_min=T_MIN,
               t_max=BIG):
     """Nearest valid quadratic root per (ray, sphere) (Sphere.cpp:32-143).
@@ -40,11 +63,7 @@ def sphere_ts(center, cdelta, radius, active, org, dr, tm, t_min=T_MIN,
     center/cdelta: (S, 3); radius/active: (S,); org/dr: (N, 3); tm: (N,).
     Returns t: (N, S) with BIG where no hit.
     """
-    c_t = center[None, :, :] + tm[:, None, None] * cdelta[None, :, :]
-    oc = c_t - org[:, None, :]                    # (N, S, 3)
-    a = dot(dr, dr)[:, None]                      # (N, 1)
-    h = edot("nd,nsd->ns", dr, oc)          # dot(dir, oc)
-    c = dot(oc, oc) - (radius * radius)[None, :]
+    h, c, a = _sphere_quadratic(center, cdelta, radius, org, dr, tm)
     disc = h * h - a * c
     ok = (disc > 0.0) & active[None, :] & (radius > 0.0)[None, :]
     sq = safe_sqrt(disc)
@@ -60,13 +79,9 @@ def sphere_both_ts(center, radius, org, dr, tm, cdelta=None):
     """Both roots over (-inf, inf) — for medium boundary crossings
     (ConstantMedium.cpp:36-43 uses the UNIVERSE interval).
     Returns (t0, t1): each (N, S); BIG where no intersection."""
-    c_t = center[None, :, :]
-    if cdelta is not None:
-        c_t = c_t + tm[:, None, None] * cdelta[None, :, :]
-    oc = c_t - org[:, None, :]
-    a = dot(dr, dr)[:, None]
-    h = edot("nd,nsd->ns", dr, oc)
-    c = dot(oc, oc) - (radius * radius)[None, :]
+    if cdelta is None:
+        cdelta = jnp.zeros_like(center)
+    h, c, a = _sphere_quadratic(center, cdelta, radius, org, dr, tm)
     disc = h * h - a * c
     ok = (disc > 0.0) & (radius > 0.0)[None, :]
     sq = safe_sqrt(disc)
@@ -97,16 +112,28 @@ def quad_ts(corner, u, v, normal, d, w, active, org, dr, t_min=T_MIN,
     """Plane-equation hit + parallelogram inside test (Plane.cpp:25-113).
 
     corner/u/v/normal/w: (Q, 3); d: (Q,); org/dr: (N, 3).
-    Returns t: (N, Q) with BIG where no hit.
+    Returns t: (N, Q) with BIG where no hit. Component form — see the
+    sphere-section comment on why no (N, Q, 3) intermediates.
     """
-    denom = edot("nd,qd->nq", dr, normal)
+    nxq, nyq, nzq = normal[None, :, 0], normal[None, :, 1], normal[None, :, 2]
+    denom = dr[:, 0:1] * nxq + dr[:, 1:2] * nyq + dr[:, 2:3] * nzq
     parallel = jnp.abs(denom) < eps
-    t = (d[None, :] - edot("nd,qd->nq", org, normal)) / jnp.where(
-        parallel, 1.0, denom)
-    p = org[:, None, :] + t[..., None] * dr[:, None, :]
-    planar = p - corner[None, :, :]
-    alpha = edot("qd,nqd->nq", w, jnp.cross(planar, v[None, :, :]))
-    beta = edot("qd,nqd->nq", w, jnp.cross(u[None, :, :], planar))
+    o_dot_n = org[:, 0:1] * nxq + org[:, 1:2] * nyq + org[:, 2:3] * nzq
+    t = (d[None, :] - o_dot_n) / jnp.where(parallel, 1.0, denom)
+    # planar hit vector components (N, Q)
+    plx = org[:, 0:1] + t * dr[:, 0:1] - corner[None, :, 0]
+    ply = org[:, 1:2] + t * dr[:, 1:2] - corner[None, :, 1]
+    plz = org[:, 2:3] + t * dr[:, 2:3] - corner[None, :, 2]
+    vxq, vyq, vzq = v[None, :, 0], v[None, :, 1], v[None, :, 2]
+    uxq, uyq, uzq = u[None, :, 0], u[None, :, 1], u[None, :, 2]
+    wxq, wyq, wzq = w[None, :, 0], w[None, :, 1], w[None, :, 2]
+    # alpha = w . (planar x v); beta = w . (u x planar)
+    alpha = (wxq * (ply * vzq - plz * vyq)
+             + wyq * (plz * vxq - plx * vzq)
+             + wzq * (plx * vyq - ply * vxq))
+    beta = (wxq * (uyq * plz - uzq * ply)
+            + wyq * (uzq * plx - uxq * plz)
+            + wzq * (uxq * ply - uyq * plx))
     inside = ((alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0))
     ok = (~parallel) & inside & (t > t_min) & (t < t_max) & active[None, :]
     return jnp.where(ok, t, BIG)

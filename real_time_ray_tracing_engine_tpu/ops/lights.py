@@ -38,9 +38,13 @@ def light_pdf_values(scene: FlatScene, org, dr, tm):
     ts = sphere_ts(scene.sph_center[si], scene.sph_cdelta[si],
                    scene.sph_radius[si], jnp.ones_like(is_sph), org, dr, tm,
                    T_MIN, BIG)                              # (N, L)
-    c_t = (scene.sph_center[si][None, :, :]
-           + tm[:, None, None] * scene.sph_cdelta[si][None, :, :])
-    dist2 = jnp.sum((c_t - org[:, None, :]) ** 2, axis=-1)  # (N, L)
+    # component form — no (N, L, 3) intermediates (see ops/intersect.py)
+    cen, cd = scene.sph_center[si], scene.sph_cdelta[si]
+    tmn = tm[:, None]
+    ocx = cen[None, :, 0] + tmn * cd[None, :, 0] - org[:, 0:1]
+    ocy = cen[None, :, 1] + tmn * cd[None, :, 1] - org[:, 1:2]
+    ocz = cen[None, :, 2] + tmn * cd[None, :, 2] - org[:, 2:3]
+    dist2 = ocx * ocx + ocy * ocy + ocz * ocz               # (N, L)
     r = scene.sph_radius[si][None, :]
     ratio = jnp.clip(1.0 - r * r / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
     cos_max = safe_sqrt(ratio)
@@ -54,7 +58,10 @@ def light_pdf_values(scene: FlatScene, org, dr, tm):
     tq = quad_ts(scene.quad_corner[qi], scene.quad_u[qi], scene.quad_v[qi],
                  scene.quad_normal[qi], scene.quad_d[qi], scene.quad_w[qi],
                  jnp.ones_like(is_sph), org, dr, T_MIN, BIG)  # (N, L)
-    cosine = jnp.abs(edot("nd,ld->nl", dr, scene.quad_normal[qi]))
+    qn = scene.quad_normal[qi]
+    cosine = jnp.abs(dr[:, 0:1] * qn[None, :, 0]
+                     + dr[:, 1:2] * qn[None, :, 1]
+                     + dr[:, 2:3] * qn[None, :, 2])
     # dr unit => distance = t, distance^2 = t^2. Double-where: tq is BIG
     # (1e30) in missed lanes, and BIG^2 overflows fp32 to inf, which turns
     # the backward pass into NaN even though the forward value is masked.

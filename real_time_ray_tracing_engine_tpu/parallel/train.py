@@ -40,18 +40,31 @@ def set_params(flat: FlatScene, params: dict) -> FlatScene:
 
 
 def make_train_step(optimizer: optax.GradientTransformation, *, mesh, width,
-                    height, n_strata, max_depth, sky_gradient=False):
+                    height, n_strata, max_depth, sky_gradient=False,
+                    flat: FlatScene | None = None):
     """Build a jitted SGD step: params -> rendered image -> L2 loss -> update.
 
     The returned step has signature
       step(params, opt_state, flat, cam, seed, target) ->
           (params, opt_state, loss)
+
+    Pass `flat` at build time to bake the NON-trainable scene tables in as
+    compile-time constants (~10x faster on TPU: XLA folds constant gathers;
+    see models.render.baked_render_pass). Trainable params stay traced. The
+    per-step flat argument is then ignored (pass None).
     """
+    baked = flat
 
     def loss_fn(params, flat, cam, seed, target):
-        img = render_sharded(set_params(flat, params), cam, seed, mesh=mesh,
-                             width=width, height=height, n_strata=n_strata,
-                             max_depth=max_depth, sky_gradient=sky_gradient)
+        base = baked if baked is not None else flat
+        # remat the whole render: recomputing the forward in the backward is
+        # ~10x faster than streaming every per-bounce residual through HBM
+        # (measured 4.1s -> 0.40s per 128px/16spp/d8 step on one v5e chip)
+        render = jax.checkpoint(lambda b: render_sharded(
+            b, cam, seed, mesh=mesh, width=width, height=height,
+            n_strata=n_strata, max_depth=max_depth,
+            sky_gradient=sky_gradient))
+        img = render(set_params(base, params))
         return jnp.mean((img - target) ** 2)
 
     @jax.jit
@@ -70,9 +83,11 @@ def render_loss_grad(flat: FlatScene, cam, seed, target, *, mesh, width,
     """One-shot loss + parameter gradients (no optimizer state)."""
 
     def loss_fn(params):
-        img = render_sharded(set_params(flat, params), cam, seed, mesh=mesh,
-                             width=width, height=height, n_strata=n_strata,
-                             max_depth=max_depth, sky_gradient=sky_gradient)
+        render = jax.checkpoint(lambda b: render_sharded(
+            b, cam, seed, mesh=mesh, width=width, height=height,
+            n_strata=n_strata, max_depth=max_depth,
+            sky_gradient=sky_gradient))
+        img = render(set_params(flat, params))
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(loss_fn)(get_params(flat))

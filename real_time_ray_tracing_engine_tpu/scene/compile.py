@@ -304,6 +304,7 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
         n_lights=len(light_prims),
         n_mediums=len(med),
         use_bvh=False,
+        has_noise=any(t["type"] == TEX_NOISE for t in tab.tex_rows),
     )
     if use_bvh:
         from ..ops.bvh import build_bvh

@@ -94,6 +94,12 @@ class FlatScene:
     n_lights: int = flax.struct.field(pytree_node=False, default=0)
     n_mediums: int = flax.struct.field(pytree_node=False, default=0)
     use_bvh: bool = flax.struct.field(pytree_node=False, default=False)
+    # Perlin-noise textures present? Static so texture_value can skip the
+    # 7-octave turbulence (8 table gathers per octave per ray) entirely for
+    # noise-free scenes — with the scene as a traced jit argument XLA cannot
+    # fold the dead branch, and it dominates the whole integrator's HBM
+    # traffic (measured 189 GB -> 7 GB per depth-8 600px Cornell pass).
+    has_noise: bool = flax.struct.field(pytree_node=False, default=True)
 
     @property
     def n_prims(self) -> int:
