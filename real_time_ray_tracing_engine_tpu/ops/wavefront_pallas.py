@@ -27,10 +27,12 @@ draw-slot layout), so the pure-JAX integrator is a near-bitwise oracle for
 this kernel — mirroring the reference's CPU-renderer-as-oracle-for-CUDA
 pattern (StaticCamera.cpp:169-178 fallback chain).
 
-Feature gate: scenes with constant mediums or Perlin-noise textures fall back
-to the pure-JAX path (`supports_pallas` returns False); everything else —
-spheres, quads, all 5 material families, solid/checker textures, sphere+quad
-MIS lights, defocus, motion blur, stratification — runs in-kernel.
+Feature gate: scenes with Perlin-noise textures (or >MAX_MEDIUMS constant
+mediums / >MAX_LIGHTS lights / >MAX_PRIMS_SCAN prims) fall back to the
+pure-JAX path (`supports_pallas` returns False); everything else — spheres,
+quads, all 5 material families, solid/checker textures, sphere+quad MIS
+lights, constant mediums (ConstantMedium.cpp free-flight scattering),
+defocus, motion blur, stratification — runs in-kernel.
 
 Two intersection strategies, chosen statically by scene size:
   - unrolled (<=64 prims, Cornell class): Python-unrolled prim loop with
@@ -69,7 +71,9 @@ MAX_PRIMS_SCAN = 4096   # fori_loop prim scan bound (bouncing-spheres class)
 MAX_LIGHTS = 8
 MAX_MATS = 16           # unrolled masked-select material gather bound
 MAX_TEXS = 16
+MAX_MEDIUMS = 4         # unrolled constant-medium free-flight bound
 CLUSTER = 16            # prims per culling cluster in scan mode
+MEDF_COLS = 109         # per-medium SMEM row width (see _pack_tables)
 
 
 def _morton3(x, y, z):
@@ -141,7 +145,7 @@ def supports_pallas(flat: FlatScene) -> bool:
     """True if the fused kernel covers this scene's feature set.
 
     Reads table *values* — call outside jit (scene compile time)."""
-    if flat.n_mediums > 0:
+    if flat.n_mediums > MAX_MEDIUMS:
         return False
     if flat.n_prims == 0 or flat.n_prims > MAX_PRIMS_SCAN:
         return False
@@ -246,29 +250,53 @@ def _pack_tables(flat: FlatScene):
 
     # per-prim resolved material+texture row for the scan-mode kernel: TPU
     # vector units cannot gather by per-lane index, so scan mode reads one
-    # fully-resolved scalar row per prim instead of indexing three tables
-    mt = prim_mat
-    primmatf = jnp.concatenate([
-        flat.mat_type[mt].astype(f32)[:, None],                # 0 type
-        flat.mat_fuzz[mt][:, None],                            # 1 fuzz
-        flat.mat_ior[mt][:, None],                             # 2 ior
-        is_chk[flat.mat_tex[mt]][:, None],                     # 3 is_checker
-        flat.tex_scale[flat.mat_tex[mt]][:, None],             # 4 scale
-        flat.tex_color[flat.mat_tex[mt]],                      # 5-7 color
-        even_c[flat.mat_tex[mt]],                              # 8-10 even
-        odd_c[flat.mat_tex[mt]],                               # 11-13 odd
-    ], axis=1)                                                 # (S+Q, 14)
-    return sphf, quadf, prim_mat, lightf, mati, matf, texf, primmatf
+    # fully-resolved scalar row per prim instead of indexing three tables.
+    # Medium (isotropic phase) rows are appended after the quads so the
+    # scan-mode medium override can gather row S+Q+m.
+    def resolved_rows(mt):
+        return jnp.concatenate([
+            flat.mat_type[mt].astype(f32)[:, None],            # 0 type
+            flat.mat_fuzz[mt][:, None],                        # 1 fuzz
+            flat.mat_ior[mt][:, None],                         # 2 ior
+            is_chk[flat.mat_tex[mt]][:, None],                 # 3 is_checker
+            flat.tex_scale[flat.mat_tex[mt]][:, None],         # 4 scale
+            flat.tex_color[flat.mat_tex[mt]],                  # 5-7 color
+            even_c[flat.mat_tex[mt]],                          # 8-10 even
+            odd_c[flat.mat_tex[mt]],                           # 11-13 odd
+        ], axis=1)
+    primmatf = jnp.concatenate(
+        [resolved_rows(prim_mat), resolved_rows(flat.med_mat)])
+    # (S+Q+M, 14)
+
+    # constant-medium boundary rows (ConstantMedium.cpp:25-96): density,
+    # active, sphere boundary, 6 quad boundaries (each 17 cols: corner, u, v,
+    # normal, d, w, active), isotropic material index
+    mq = flat.med_quad_corner.shape[1]
+    quad_cols = jnp.concatenate([
+        flat.med_quad_corner, flat.med_quad_u, flat.med_quad_v,
+        flat.med_quad_normal, flat.med_quad_d[..., None], flat.med_quad_w,
+        flat.med_quad_active.astype(f32)[..., None],
+    ], axis=2).reshape(flat.med_mat.shape[0], mq * 17)
+    medf = jnp.concatenate([
+        flat.med_neg_inv_density[:, None],                     # 0
+        flat.med_active.astype(f32)[:, None],                  # 1
+        flat.med_sph_center,                                   # 2-4
+        flat.med_sph_radius[:, None],                          # 5
+        quad_cols,                                             # 6..6+6*17
+        flat.med_mat.astype(f32)[:, None],                     # 108
+    ], axis=1)                                                 # (M, 109)
+    return (sphf, quadf, prim_mat, lightf, mati, matf, texf, primmatf,
+            medf)
 
 
 # ------------------------------------------------------------- the kernel
-def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
+def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  n_samples, sky_gradient, unroll_prims, n_clusters):
     n_prims = S + Q
 
     def kernel(pix_ref, fi_ref, fj_ref, iscal_ref, fscal_ref, sphf_ref,
                quadf_ref, pmat_ref, lightf_ref, mati_ref, matf_ref, texf_ref,
-               primmat_ref, csph_ref, out_ref):
+               primmat_ref, csph_ref, medf_ref, out_ref):
         pix = pix_ref[:]                                     # (R,128) int32
         seed = iscal_ref[0].astype(jnp.uint32)
         sample_start_f = iscal_ref[1].astype(jnp.float32)
@@ -366,7 +394,7 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
             pz = oz + t_safe * dz
             front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
-            return hit, px, py, pz, nx * sgn, ny * sgn, nz * sgn, \
+            return hit, best_t, px, py, pz, nx * sgn, ny * sgn, nz * sgn, \
                 front, mat
 
         # ------------------- closest hit, scan mode (fori_loop over prims)
@@ -493,8 +521,8 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
             pz = oz + t_safe * dz
             front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
-            return (hit, px, py, pz, nx * sgn, ny * sgn, nz * sgn, front,
-                    mats)
+            return (hit, best_t, px, py, pz, nx * sgn, ny * sgn, nz * sgn,
+                    front, mats)
 
         # --------------------- checker/solid color from resolved tex planes
         def tex_eval_planes(is_chk_f, scale, cr, cg, cb, er, eg, eb,
@@ -634,6 +662,73 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
                 gz = jnp.where(m, jnp.where(is_s, szz, qz), gz)
             return _normalize3(gx, gy, gz)
 
+        # --------------- constant-medium free flight (ops.intersect.
+        # medium_scatter semantics; ConstantMedium.cpp:25-96): boundary
+        # entry/exit over the full real line from the sphere's 2 roots + 6
+        # quads, clamped to [T_MIN, t_surf], exponential hit distance, min
+        # over mediums. Unrolled over M (<= MAX_MEDIUMS).
+        def medium_free_flight(ox, oy, oz, dx, dy, dz, tm, t_surf, u_med):
+            t_best = zero + BIG
+            row_best = zero            # winning medium id (f32 plane)
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            raylen = jnp.sqrt(a)
+            for m in range(M):
+                scx, scy, scz = medf_ref[m, 2], medf_ref[m, 3], medf_ref[m, 4]
+                rad = medf_ref[m, 5]
+                ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
+                h = _dot3(dx, dy, dz, ocx, ocy, ocz)
+                c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+                disc = h * h - a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                ok_s = (disc > 0.0) & (rad > 0.0)
+                ts = [jnp.where(ok_s, (h - sq) / a, BIG),
+                      jnp.where(ok_s, (h + sq) / a, BIG)]
+                for j in range(6):
+                    b = 6 + 17 * j
+                    qnx, qny, qnz = medf_ref[m, b + 9], medf_ref[m, b + 10], \
+                        medf_ref[m, b + 11]
+                    denom = _dot3(dx, dy, dz, qnx, qny, qnz)
+                    par = jnp.abs(denom) < 1e-8
+                    t_q = (medf_ref[m, b + 12]
+                           - _dot3(ox, oy, oz, qnx, qny, qnz)) \
+                        / jnp.where(par, 1.0, denom)
+                    hx = ox + t_q * dx - medf_ref[m, b + 0]
+                    hy = oy + t_q * dy - medf_ref[m, b + 1]
+                    hz = oz + t_q * dz - medf_ref[m, b + 2]
+                    c1 = _cross3(hx, hy, hz, medf_ref[m, b + 6],
+                                 medf_ref[m, b + 7], medf_ref[m, b + 8])
+                    alpha = _dot3(medf_ref[m, b + 13], medf_ref[m, b + 14],
+                                  medf_ref[m, b + 15], *c1)
+                    c2 = _cross3(medf_ref[m, b + 3], medf_ref[m, b + 4],
+                                 medf_ref[m, b + 5], hx, hy, hz)
+                    beta = _dot3(medf_ref[m, b + 13], medf_ref[m, b + 14],
+                                 medf_ref[m, b + 15], *c2)
+                    ok_q = (~par & (alpha >= 0.0) & (alpha <= 1.0)
+                            & (beta >= 0.0) & (beta <= 1.0)
+                            & (medf_ref[m, b + 16] > 0.5))
+                    ts.append(jnp.where(ok_q, t_q, BIG))
+                entry = ts[0]
+                for t in ts[1:]:
+                    entry = jnp.minimum(entry, t)
+                exit_ = zero + BIG
+                for t in ts:
+                    exit_ = jnp.minimum(
+                        exit_, jnp.where(t > entry + 1e-4, t, BIG))
+                crossed = (entry < BIG * 0.5) & (exit_ < BIG * 0.5)
+                t1 = jnp.maximum(entry, T_MIN)
+                t2 = jnp.minimum(exit_, t_surf)
+                span_ok = crossed & (t1 < t2) & (medf_ref[m, 1] > 0.5)
+                t2_safe = jnp.where(span_ok, t2, t1 + 1.0)
+                dist_inside = (t2_safe - t1) * raylen
+                hit_dist = medf_ref[m, 0] * jnp.log(
+                    jnp.maximum(u_med[m], 1e-12))
+                scat = span_ok & (hit_dist < dist_inside)
+                t_med = jnp.where(scat, t1 + hit_dist / raylen, BIG)
+                take = t_med < t_best
+                t_best = jnp.where(take, t_med, t_best)
+                row_best = jnp.where(take, float(m), row_best)
+            return t_best, row_best
+
         # --------------------------- camera ray for per-lane sample ids
         def gen_ray(s_abs_f):
             """Camera ray planes for absolute sample ids s_abs_f (f32 plane).
@@ -699,11 +794,41 @@ def _make_kernel(*, S, Q, L, NM, NT, R, width, n_pix, n_strata, max_depth,
                        jnp.uint32(0x4000000) + _f2u(b_f), N_DRAWS)
 
             if unroll_prims:
-                (hit, px, py, pz, nx, ny, nz, front,
+                (hit, best_t, px, py, pz, nx, ny, nz, front,
                  mat) = closest_hit(ox, oy, oz, dx, dy, dz, tm)
             else:
-                (hit, px, py, pz, nx, ny, nz, front,
+                (hit, best_t, px, py, pz, nx, ny, nz, front,
                  mats) = closest_hit_scan(ox, oy, oz, dx, dy, dz, tm, alive)
+
+            # constant mediums preempt the surface hit (same draw stream as
+            # ops.integrator: tag 1_000_000 + bounce, one uniform per medium)
+            if M:
+                u_med = _draws(k0, k1, k2,
+                               jnp.uint32(1_000_000) + _f2u(b_f), M)
+                t_surf = jnp.where(hit, best_t, BIG)
+                t_med, med_row = medium_free_flight(
+                    ox, oy, oz, dx, dy, dz, tm, t_surf, u_med)
+                med_on = t_med < BIG * 0.5
+                hit = hit | med_on
+                px = jnp.where(med_on, ox + t_med * dx, px)
+                py = jnp.where(med_on, oy + t_med * dy, py)
+                pz = jnp.where(med_on, oz + t_med * dz, pz)
+                nx = jnp.where(med_on, 1.0, nx)   # arbitrary normal,
+                ny = jnp.where(med_on, 0.0, ny)   # front face (isotropic
+                nz = jnp.where(med_on, 0.0, nz)   # phase ignores it)
+                front = med_on | front
+                if unroll_prims:
+                    for m in range(M):
+                        sel = med_on & (med_row == float(m))
+                        mat = jnp.where(
+                            sel, medf_ref[m, 108].astype(jnp.int32), mat)
+                else:
+                    for m in range(M):
+                        sel = med_on & (med_row == float(m))
+                        mats = tuple(
+                            jnp.where(sel, primmat_ref[S + Q + m, c],
+                                      mats[c])
+                            for c in range(14))
 
             # 1. miss -> background (Camera.cpp:242-243)
             if sky_gradient:
@@ -904,9 +1029,13 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     S = flat.sph_center.shape[0]
     Q = flat.quad_corner.shape[0]
     L = flat.n_lights
-    (sphf, quadf, prim_mat, lightf, mati, matf, texf,
-     primmatf) = _pack_tables(flat)
+    (sphf, quadf, prim_mat, lightf, mati, matf, texf, primmatf,
+     medf) = _pack_tables(flat)
     lightf = lightf[:max(L, 1)]
+    M = medf.shape[0] if flat.n_mediums else 0
+    if not M:
+        medf = medf[:1]                # unread; keep SMEM slim
+        primmatf = primmatf[:S + Q]    # drop medium rows
     unroll = _use_unrolled(S, Q, int(mati.shape[0]), int(texf.shape[0]))
     csph = jnp.zeros((1, 6), jnp.float32)
     n_clusters = 0
@@ -943,10 +1072,10 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         cam.background]).astype(jnp.float32)
 
     kernel = _make_kernel(
-        S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=int(texf.shape[0]), R=R,
-        width=width, n_pix=n_pix, n_strata=n_strata, max_depth=max_depth,
-        n_samples=n_samples, sky_gradient=sky_gradient, unroll_prims=unroll,
-        n_clusters=n_clusters)
+        S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=int(texf.shape[0]), M=M,
+        R=R, width=width, n_pix=n_pix, n_strata=n_strata,
+        max_depth=max_depth, n_samples=n_samples, sky_gradient=sky_gradient,
+        unroll_prims=unroll, n_clusters=n_clusters)
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -957,14 +1086,14 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         in_specs=[
             tile_spec(), tile_spec(), tile_spec(),
             smem(), smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-            smem(), smem(), smem(),
+            smem(), smem(), smem(), smem(),
         ],
         out_specs=pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n_tiles * R, lane), jnp.float32),
         interpret=interpret,
     )(pix, fi, fj, iscal, fscal, sphf, quadf, prim_mat, lightf, mati, matf,
-      texf, primmatf, csph)
+      texf, primmatf, csph, medf)
 
     img = out.reshape(3, n_tiles * rays_per_tile)[:, :n_pix]
     return jnp.moveaxis(img, 0, -1).reshape(height, width, 3)

@@ -124,16 +124,26 @@ def test_bouncing_spheres_supported():
     assert supports_pallas(flat)
 
 
+def test_cornell_smoke_matches_oracle():
+    """Constant mediums run in-kernel (free-flight scattering over the
+    boundary entry/exit span, ConstantMedium.cpp:25-96 semantics)."""
+    scene = builders.cornell_smoke()
+    scene.camera.image_width = 48
+    assert compile_scene(scene).n_mediums == 2
+    img_p, img_j = _compare(scene)
+    _assert_close(img_p, img_j)
+
+
 def test_supports_gate():
     cornell = compile_scene(builders.cornell_box())
     assert supports_pallas(cornell)
-    # mediums are outside the kernel's gate
-    smoke = rt.Scene(objects=[
-        rt.ConstantMedium(
-            rt.Box((0, 0, 0), (1, 1, 1),
-                   rt.Lambertian(rt.SolidColor((1, 1, 1)))),
-            0.1, rt.SolidColor((1, 1, 1)))])
-    assert not supports_pallas(compile_scene(smoke))
+    # constant mediums are inside the gate (up to MAX_MEDIUMS)
+    assert supports_pallas(compile_scene(builders.cornell_smoke()))
+    boxes = [rt.ConstantMedium(
+        rt.Box((i, 0, 0), (i + 1, 1, 1),
+               rt.Lambertian(rt.SolidColor((1, 1, 1)))),
+        0.1, rt.SolidColor((1, 1, 1))) for i in range(5)]
+    assert not supports_pallas(compile_scene(rt.Scene(objects=boxes)))
     # noise textures are outside the gate
     marble = rt.Scene(objects=[
         rt.Sphere((0, 0, 0), 1.0, rt.Lambertian(rt.Noise(4.0)))])
@@ -145,12 +155,9 @@ def test_pick_engine_auto_on_cpu_is_jax():
     assert pick_engine(flat, "auto") == "jax"       # tests run on CPU
     assert pick_engine(flat, "pallas") == "pallas"
     with pytest.raises(ValueError):
-        smoke = compile_scene(rt.Scene(objects=[
-            rt.ConstantMedium(
-                rt.Box((0, 0, 0), (1, 1, 1),
-                       rt.Lambertian(rt.SolidColor((1, 1, 1)))),
-                0.1, rt.SolidColor((1, 1, 1)))]))
-        pick_engine(smoke, "pallas")
+        marble = compile_scene(rt.Scene(objects=[
+            rt.Sphere((0, 0, 0), 1.0, rt.Lambertian(rt.Noise(4.0)))]))
+        pick_engine(marble, "pallas")
 
 
 def test_sharded_pallas_matches_sharded_jax():
