@@ -37,22 +37,27 @@ def default_tile_rows(width: int, height: int, n_prims: int) -> int:
 # when they are traced arguments. Rendering recompiles per scene — the exact
 # analogue of the reference's scene-to-device compile pass
 # (CudaSceneInitialization.cuh:249). Keyed by object identity + statics; the
-# cache holds the FlatScene alive so ids cannot be reused.
-_BAKED_CACHE: dict = {}
+# cache holds the FlatScene alive so ids cannot be reused, and is bounded
+# (LRU) so a scene-per-request service does not leak host+device memory.
+_BAKED_CACHE: "dict" = {}
+_BAKED_CACHE_MAX = 8
 
 
 def baked_render_pass(flat: FlatScene, **statics):
     """jitted (cam, seed, sample_start) -> radiance-sum image with `flat`
     closed over as constants. statics = _render_pass's keyword args."""
     key = (id(flat), tuple(sorted(statics.items())))
-    hit = _BAKED_CACHE.get(key)
+    hit = _BAKED_CACHE.pop(key, None)
     if hit is not None:
+        _BAKED_CACHE[key] = hit          # reinsert: most-recently-used
         return hit[1]
 
     @jax.jit
     def fn(cam, seed, sample_start):
         return _render_pass(flat, cam, seed, sample_start, **statics)
 
+    while len(_BAKED_CACHE) >= _BAKED_CACHE_MAX:
+        _BAKED_CACHE.pop(next(iter(_BAKED_CACHE)))   # evict LRU
     _BAKED_CACHE[key] = (flat, fn)
     return fn
 
@@ -99,17 +104,25 @@ def pick_engine(flat: FlatScene, engine: str = "auto") -> str:
     "jax" (pure-JAX wavefront — the oracle/fallback, and the only
     differentiable path).
 
-    "auto" picks pallas on TPU backends for scenes the kernel supports,
+    "auto" picks pallas on the TPU backend for scenes the kernel supports,
     mirroring the reference's GPU-with-CPU-fallback structure
-    (StaticCamera.cpp:166-207)."""
+    (StaticCamera.cpp:166-207). The fused kernel lowers through Mosaic
+    (pltpu.SMEM/VMEM memory spaces), so non-TPU accelerators (CUDA/ROCm/
+    METAL) take the jax engine rather than failing to lower. When a feature
+    cap knocks the scene off the fast path, the reason is logged — silent
+    1000x degradations are worse than a warning."""
+    import sys
     import jax as _jax
-    from ..ops.wavefront_pallas import supports_pallas
+    from ..ops.wavefront_pallas import pallas_gate_reason
+    reason = pallas_gate_reason(flat)
     if engine == "auto":
-        on_tpu = _jax.default_backend() not in ("cpu",)
-        return "pallas" if (on_tpu and supports_pallas(flat)) else "jax"
-    if engine == "pallas" and not supports_pallas(flat):
-        raise ValueError("scene uses features outside the pallas kernel's "
-                         "gate (mediums / noise textures / size caps); "
+        on_tpu = _jax.default_backend() == "tpu"
+        if on_tpu and reason is not None:
+            print(f"[INFO] engine=jax (fused kernel unavailable: {reason})",
+                  file=sys.stderr)
+        return "pallas" if (on_tpu and reason is None) else "jax"
+    if engine == "pallas" and reason is not None:
+        raise ValueError(f"scene outside the pallas kernel's gate: {reason}; "
                          "use engine='jax'")
     return engine
 
@@ -152,20 +165,39 @@ def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
     while s < total:
         k = min(samples_per_batch, total - s)
         if eng == "pallas":
-            acc = acc + render_pass_pallas(
-                flat, cam, seed, s, width=width, height=height,
-                n_strata=n_strata, max_depth=cfg.max_depth, n_samples=k,
-                sky_gradient=cfg.sky_gradient, interpret=interp)
+            try:
+                acc = acc + render_pass_pallas(
+                    flat, cam, seed, s, width=width, height=height,
+                    n_strata=n_strata, max_depth=cfg.max_depth, n_samples=k,
+                    sky_gradient=cfg.sky_gradient, interpret=interp)
+                s += k
+            except Exception as e:            # Mosaic lowering / XLA runtime
+                eng = _fallback_to_jax(e)     # failure -> degrade, keep `s`
+                continue
         else:
             pass_fn = baked_render_pass(
                 flat, width=width, height=height, tile_rows=tr,
                 n_strata=n_strata, max_depth=cfg.max_depth,
                 sky_gradient=cfg.sky_gradient, n_samples=k)
             acc = acc + pass_fn(cam, seed, s)
-        s += k
+            s += k
         if progress is not None:
             progress(s, total)
     return acc / total
+
+
+def _fallback_to_jax(err: Exception) -> str:
+    """Log a fused-kernel failure and return the fallback engine name.
+
+    The reference degrades to its CPU renderer on *every* device error
+    (StaticCamera.cpp:169-178, 251, 275...); the analogue here is the
+    pure-JAX wavefront, which renders the identical estimator (same RNG
+    streams), just slower."""
+    import sys
+    msg = str(err).splitlines()[0][:200]
+    print(f"[ERROR] pallas kernel failed ({type(err).__name__}: {msg}); "
+          "falling back to engine=jax", file=sys.stderr)
+    return "jax"
 
 
 class ProgressiveRenderer:
@@ -208,20 +240,24 @@ class ProgressiveRenderer:
         if self.engine == "pallas":
             from ..ops.wavefront_pallas import render_pass_pallas
             import jax as _jax
-            self.acc = self.acc + render_pass_pallas(
-                self.flat, self.cam, self.seed, self.samples_taken,
-                width=self.width, height=self.height,
-                n_strata=self.n_strata, max_depth=self.cfg.max_depth,
-                n_samples=1, sky_gradient=self.cfg.sky_gradient,
-                interpret=_jax.default_backend() == "cpu")
-        else:
-            pass_fn = baked_render_pass(
-                self.flat, width=self.width, height=self.height,
-                tile_rows=self.tile_rows, n_strata=self.n_strata,
-                max_depth=self.cfg.max_depth,
-                sky_gradient=self.cfg.sky_gradient, n_samples=1)
-            self.acc = self.acc + pass_fn(self.cam, self.seed,
-                                          self.samples_taken)
+            try:
+                self.acc = self.acc + render_pass_pallas(
+                    self.flat, self.cam, self.seed, self.samples_taken,
+                    width=self.width, height=self.height,
+                    n_strata=self.n_strata, max_depth=self.cfg.max_depth,
+                    n_samples=1, sky_gradient=self.cfg.sky_gradient,
+                    interpret=_jax.default_backend() == "cpu")
+                self.samples_taken += 1
+                return True
+            except Exception as e:
+                self.engine = _fallback_to_jax(e)
+        pass_fn = baked_render_pass(
+            self.flat, width=self.width, height=self.height,
+            tile_rows=self.tile_rows, n_strata=self.n_strata,
+            max_depth=self.cfg.max_depth,
+            sky_gradient=self.cfg.sky_gradient, n_samples=1)
+        self.acc = self.acc + pass_fn(self.cam, self.seed,
+                                      self.samples_taken)
         self.samples_taken += 1
         return True
 

@@ -94,9 +94,19 @@ class _RawKeys:
         if not self.enabled:
             return None
         r, _, _ = select.select([sys.stdin], [], [], 0)
-        if r:
-            return sys.stdin.read(1)
-        return None
+        if not r:
+            return None
+        ch = sys.stdin.read(1)
+        if ch != "\x1b":
+            return ch
+        # ESC may start a terminal sequence (arrow keys = "\x1b[A"...):
+        # drain any immediately-following bytes and only report a lone ESC,
+        # so arrow keys neither quit the viewer nor leave "[A" bytes behind
+        # to be misread as later WASD input.
+        seq = ""
+        while select.select([sys.stdin], [], [], 0.01)[0]:
+            seq += sys.stdin.read(1)
+        return ch if not seq else None
 
 
 def run_viewer(scene, *, use_bvh: bool = False, seed: int = 0,

@@ -11,10 +11,45 @@ import os
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def load_bvh_lib():
-    """Return the libbvh ctypes handle, or None if not built."""
+def _ensure_built() -> str | None:
+    """Return the path to libbvh.so, compiling it on first use.
+
+    The binary is not committed (scripts/build_native.sh builds it too); a
+    quiet one-shot g++ invocation here keeps `pip install -e . && import`
+    working without a separate build step. Returns None when no toolchain
+    is available — every consumer has a numpy fallback."""
     path = os.path.join(_DIR, "libbvh.so")
-    if not os.path.exists(path):
+    srcs = [os.path.join(_DIR, "bvh_builder.cpp"),
+            os.path.join(_DIR, "ppm_io.cpp")]
+    if os.path.exists(path) and all(
+            os.path.getmtime(path) >= os.path.getmtime(s) for s in srcs):
+        return path
+    import shutil
+    import subprocess
+    import tempfile
+    cxx = shutil.which("g++") or shutil.which("c++")
+    if cxx is None:
+        return path if os.path.exists(path) else None
+    # build to a temp file + atomic rename: parallel test workers race here
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+    os.close(fd)
+    try:
+        subprocess.run(
+            [cxx, "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", tmp] + srcs,
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, path)
+    except Exception:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        return path if os.path.exists(path) else None
+    return path
+
+
+def load_bvh_lib():
+    """Return the libbvh ctypes handle, or None if not built/buildable."""
+    path = _ensure_built()
+    if path is None:
         return None
     try:
         lib = ctypes.CDLL(path)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import flax.struct
 
-from ..utils.vecmath import edot, dot, cross, normalize, safe_sqrt, T_MIN, BIG
+from ..utils.vecmath import dot, cross, normalize, safe_sqrt, T_MIN, BIG
 from ..scene.flat import FlatScene
 
 

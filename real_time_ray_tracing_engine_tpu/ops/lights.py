@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.vecmath import edot, dot, normalize, onb_from_w, onb_local, safe_sqrt, T_MIN, BIG
+from ..utils.vecmath import dot, normalize, onb_from_w, onb_local, safe_sqrt, T_MIN, BIG
 from ..scene.flat import FlatScene
 from .intersect import sphere_ts, quad_ts
 

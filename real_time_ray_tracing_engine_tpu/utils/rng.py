@@ -17,10 +17,11 @@ import jax
 import jax.numpy as jnp
 
 # Draw-slot labels within one bounce of the integrator. Each slot consumes a
-# fixed lane out of one per-(ray,bounce) uniform block.
-N_DRAWS = 12
-(D_MEDIUM, D_PICK, D_LIGHT_SEL, D_LIGHT_U, D_LIGHT_V, D_MAT_U, D_MAT_V,
- D_FUZZ_U, D_FUZZ_V, D_REFL, D_SPARE0, D_SPARE1) = range(N_DRAWS)
+# fixed lane out of one per-(ray,bounce) uniform block. (Medium free-flight
+# draws use their own tag stream, 1_000_000 + bounce — see ops.integrator.)
+N_DRAWS = 9
+(D_PICK, D_LIGHT_SEL, D_LIGHT_U, D_LIGHT_V, D_MAT_U, D_MAT_V,
+ D_FUZZ_U, D_FUZZ_V, D_REFL) = range(N_DRAWS)
 
 _GOLDEN = 0x9E3779B9
 

@@ -101,3 +101,62 @@ def test_progressive_renderer_api():
     assert p.converged and p.samples_taken == 4
     p.set_spp(9)
     assert p.samples_taken == 0 and p.n_strata == 3
+
+
+def test_runtime_fallback_on_kernel_failure(monkeypatch, capfd):
+    """A fused-kernel runtime failure must degrade to engine=jax and still
+    produce the correct image (the reference's CUDA->CPU fallback chain,
+    StaticCamera.cpp:166-207)."""
+    from real_time_ray_tracing_engine_tpu.models import render as render_mod
+    from real_time_ray_tracing_engine_tpu.ops import wavefront_pallas
+
+    s = rt.builders.simple_sphere()
+    s.camera.image_width = 32
+    s.camera.samples_per_pixel = 4
+    s.camera.max_depth = 3
+    expected = np.asarray(rt.render(s, engine="jax", seed=3))
+
+    def boom(*a, **k):
+        raise RuntimeError("injected Mosaic failure")
+
+    monkeypatch.setattr(wavefront_pallas, "render_pass_pallas", boom)
+    # force the pallas branch even on CPU; the injected fault must trigger
+    # the fallback rather than abort the render
+    monkeypatch.setattr(render_mod, "pick_engine", lambda f, e: "pallas")
+    got = np.asarray(rt.render(s, seed=3))
+    err = capfd.readouterr().err
+    assert "falling back to engine=jax" in err
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_progressive_fallback_on_kernel_failure(monkeypatch, capfd):
+    from real_time_ray_tracing_engine_tpu.models import render as render_mod
+    from real_time_ray_tracing_engine_tpu.ops import wavefront_pallas
+
+    s = rt.builders.simple_sphere()
+    s.camera.image_width = 32
+    s.camera.samples_per_pixel = 4
+    s.camera.max_depth = 3
+
+    def boom(*a, **k):
+        raise RuntimeError("injected kernel failure")
+
+    monkeypatch.setattr(wavefront_pallas, "render_pass_pallas", boom)
+    monkeypatch.setattr(render_mod, "pick_engine", lambda f, e: "pallas")
+    p = rt.ProgressiveRenderer(s)
+    assert p.engine == "pallas"
+    assert p.step()
+    assert p.engine == "jax" and p.samples_taken == 1
+    assert "falling back to engine=jax" in capfd.readouterr().err
+
+
+def test_pallas_gate_reason_diagnostics():
+    from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (
+        pallas_gate_reason)
+    s = rt.builders.cornell_box()
+    flat = rt.compile_scene(s)
+    assert pallas_gate_reason(flat) is None
+    s2 = rt.builders.textured_spheres()
+    flat2 = rt.compile_scene(s2)
+    reason = pallas_gate_reason(flat2)
+    assert reason is not None and "noise" in reason.lower()
