@@ -124,3 +124,44 @@ def test_radius_gradient_finite():
 
     g = jax.grad(loss)(flat.sph_radius)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_kernel_render_vjp_matches_jax_engine():
+    """make_train_step(engine='pallas'): the fused-kernel forward must yield
+    the jax-engine loss (fp32 kernel-vs-oracle tolerance) and bit-identical
+    parameter updates (its backward IS the baked jax replay).
+    VERDICT round-1 item 1."""
+    import optax
+    from real_time_ray_tracing_engine_tpu.parallel import train
+    from real_time_ray_tracing_engine_tpu.parallel.mesh import make_render_mesh
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+
+    s = rt.builders.cornell_box()
+    s.camera.image_width = 32
+    s.camera.samples_per_pixel = 4
+    s.camera.max_depth = 3
+    flat = compile_scene(s)
+    mesh = make_render_mesh(4, 2)
+    W, H = cam_mod.image_size(s.camera)
+    cam = cam_mod.derive(s.camera)
+    ns = cam_mod.sqrt_spp(s.camera)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    opt = optax.adam(1e-2)
+    params = train.get_params(flat)
+    st = opt.init(params)
+
+    outs = {}
+    for eng in ("jax", "pallas"):
+        step = train.make_train_step(
+            opt, mesh=mesh, width=W, height=H, n_strata=ns, max_depth=3,
+            flat=flat, engine=eng)
+        outs[eng] = step(params, st, None, cam, 0, target)
+
+    l_jax, l_pal = float(outs["jax"][2]), float(outs["pallas"][2])
+    np.testing.assert_allclose(l_pal, l_jax, rtol=1e-3)
+    for k in params:
+        # same backward function, but separately compiled XLA programs:
+        # allow fp32 reassociation noise on the ~1e-2-scale adam updates
+        np.testing.assert_allclose(
+            np.asarray(outs["jax"][0][k]), np.asarray(outs["pallas"][0][k]),
+            atol=3e-4, rtol=0, err_msg=f"param update mismatch for {k}")
