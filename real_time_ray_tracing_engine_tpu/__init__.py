@@ -22,7 +22,7 @@ if not _os.environ.get("RTX_NO_COMPILE_CACHE"):
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from .scene.schema import (Scene, CameraConfig, Sphere, Quad, Box, Translate,
-                           RotateY, ConstantMedium, Lambertian, Metal,
+                           RotateY, Group, ConstantMedium, Lambertian, Metal,
                            Dielectric, DiffuseLight, Isotropic, SolidColor,
                            Checker, Noise, load_scene, save_scene,
                            scene_to_json, scene_from_json)

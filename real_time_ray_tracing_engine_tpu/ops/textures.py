@@ -17,8 +17,7 @@ from ..utils import perlin
 
 def _noise_value(scene: FlatScene, scale, p):
     """Marble: 0.5*(1 + sin(scale*z + 10*turb(p,7))) (NoiseTexture.cpp:8-33)."""
-    turb = perlin.turbulence(scene.perlin_grad, scene.perlin_px,
-                             scene.perlin_py, scene.perlin_pz, p, depth=7)
+    turb = perlin.turbulence(p, scene.perlin_seed, depth=7)
     g = 0.5 * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turb))
     return g[..., None] * jnp.ones(3, p.dtype)
 

@@ -59,6 +59,7 @@ from ..scene.flat import (FlatScene, MAT_LAMBERTIAN, MAT_METAL,
 from ..utils.rng import _pcg4d, _to_unit, _GOLDEN, N_DRAWS, \
     D_PICK, D_LIGHT_SEL, D_LIGHT_U, D_LIGHT_V, D_MAT_U, D_MAT_V, \
     D_FUZZ_U, D_FUZZ_V, D_REFL
+from ..utils.perlin import turbulence3 as _turbulence3
 from ..models.camera import CAMERA_DRAW_TAG
 
 BIG = 1e30
@@ -68,12 +69,55 @@ INV_4PI = 1.0 / (4.0 * math.pi)
 # ------------------------------------------------------------------ limits
 MAX_PRIMS_UNROLL = 64   # fully unrolled intersection loop bound
 MAX_PRIMS_SCAN = 4096   # fori_loop prim scan bound (bouncing-spheres class)
-MAX_LIGHTS = 8
+BVH_STACK = 64          # reference BVHNode.cpp:398 traversal stack depth
+# v5e scalar memory is 1 MiB per core (measured: "Used 1.10M of 1.00M smem"
+# on an 8000-prim scene); leave headroom for the stack scratch + control
+SMEM_BUDGET = 920_000
+
+
+def _smem_table_bytes(flat: FlatScene) -> int:
+    """Actual SMEM footprint of the kernel's scene tables, in bytes.
+
+    Tables are passed transposed (cols, rows) — each of the few cols pads its
+    row of `rows` f32/i32 entries to a 128-element multiple — so the cost is
+    essentially the data size, and the prim cap is a *derived* budget check
+    instead of a guessed constant (round-1 ADVICE: the old 4096 cap was
+    untested against real SMEM capacity)."""
+    def t(cols, rows):
+        return 4 * cols * (-(-max(rows, 1) // 128) * 128)
+
+    S = flat.sph_center.shape[0]
+    Q = flat.quad_corner.shape[0]
+    P = S + Q
+    NM = flat.mat_type.shape[0]
+    NT = flat.tex_type.shape[0]
+    M = flat.med_neg_inv_density.shape[0] if flat.n_mediums else 0
+    B = flat.bvh_bbox_min.shape[0] if flat.use_bvh else 1
+    MQ = flat.med_quad_corner.shape[1]
+    unroll = _use_unrolled(S, Q, NM, NT)
+    # mirror the wrapper's table slimming: unrolled mode drops the resolved
+    # per-prim rows; scan/bvh modes drop the mat/tex tables (the resolved
+    # rows replace them) and Morton-pad the sphere tables
+    pad_s = S if (unroll or flat.use_bvh) else -(-S // CLUSTER) * CLUSTER
+    n_primmat = 1 if unroll else pad_s + Q + M
+    n_mt = NM if unroll else 1
+    n_tex = NT if unroll else 1
+    n_clu = 1 if (unroll or flat.use_bvh) else pad_s // CLUSTER
+    return (t(8, pad_s) + t(18, Q) + t(1, P + M)
+            + t(25, max(flat.n_lights, 1))
+            + t(2, n_mt) * 2 + t(14, n_tex)
+            + t(15, n_primmat)                  # resolved per-prim rows
+            + t(6, n_clu)                       # cluster boxes
+            + t(7 + 17 * MQ, max(M, 1))
+            + t(6, B) + t(4, B) + t(1, P)       # BVH nodes + leaf order
+            + 4 * (3 + 22))                     # iscal + fscal
+MAX_LIGHTS = 32
 MAX_MATS = 16           # unrolled masked-select material gather bound
 MAX_TEXS = 16
 MAX_MEDIUMS = 4         # unrolled constant-medium free-flight bound
 CLUSTER = 16            # prims per culling cluster in scan mode
-MEDF_COLS = 109         # per-medium SMEM row width (see _pack_tables)
+# per-medium SMEM row width is 6 + 17*MQ + 1 where MQ = quads per boundary
+# (dynamic since arbitrary convex boundaries; see _pack_tables)
 
 
 def _morton3(x, y, z):
@@ -152,17 +196,19 @@ def pallas_gate_reason(flat: FlatScene) -> str | None:
                 f"MAX_MEDIUMS={MAX_MEDIUMS}")
     if flat.n_prims == 0:
         return "empty scene (no primitives)"
-    if flat.n_prims > MAX_PRIMS_SCAN:
+    if not flat.use_bvh and flat.n_prims > MAX_PRIMS_SCAN:
         return (f"{flat.n_prims} primitives exceeds the kernel scan bound "
-                f"MAX_PRIMS_SCAN={MAX_PRIMS_SCAN}")
+                f"MAX_PRIMS_SCAN={MAX_PRIMS_SCAN} (compile with use_bvh)")
+    smem = _smem_table_bytes(flat)
+    if smem > SMEM_BUDGET:
+        return (f"scene tables need {smem} B of TPU scalar memory, over the "
+                f"{SMEM_BUDGET} B budget (1 MiB SMEM per core)")
     if flat.n_lights > MAX_LIGHTS:
         return (f"{flat.n_lights} MIS lights exceeds the kernel bound "
                 f"MAX_LIGHTS={MAX_LIGHTS}")
     tex_type = np.asarray(flat.tex_type)
-    if (tex_type == TEX_NOISE).any():
-        return ("Perlin-noise texture present (noise runs on the jax "
-                "engine)")
-    # checker children must be solid (one nesting level, no noise)
+    # noise textures run in-kernel since the hash-noise redesign
+    # (utils/perlin.py); only non-solid CHECKER CHILDREN still gate
     for name, child in (("even", np.asarray(flat.tex_child_even)),
                         ("odd", np.asarray(flat.tex_child_odd))):
         if (tex_type[child][tex_type == TEX_CHECKER] != TEX_SOLID).any():
@@ -174,6 +220,31 @@ def pallas_gate_reason(flat: FlatScene) -> str | None:
 def supports_pallas(flat: FlatScene) -> bool:
     """True if the fused kernel covers this scene's feature set."""
     return pallas_gate_reason(flat) is None
+
+
+def pallas_grad_gate_reason(flat: FlatScene) -> str | None:
+    """Why tex_color gradients cannot run fused in-kernel (None = they can).
+
+    The grad_tex kernel variant covers unrolled-mode scenes (Cornell class)
+    without constant mediums; everything else gets the pure-JAX replay
+    backward (parallel.train.make_kernel_render)."""
+    r = pallas_gate_reason(flat)
+    if r is not None:
+        return r
+    S = flat.sph_center.shape[0]
+    Q = flat.quad_corner.shape[0]
+    if not _use_unrolled(S, Q, flat.mat_type.shape[0],
+                         flat.tex_type.shape[0]):
+        return (f"{S + Q} prims / {flat.mat_type.shape[0]} materials / "
+                f"{flat.tex_type.shape[0]} textures exceeds the unrolled "
+                "kernel bounds (scan mode has no fused backward)")
+    if flat.n_mediums:
+        return "constant mediums present (no fused backward yet)"
+    return None
+
+
+def supports_pallas_grad(flat: FlatScene) -> bool:
+    return pallas_grad_gate_reason(flat) is None
 
 
 def _use_unrolled(S, Q, NM, NT) -> bool:
@@ -254,13 +325,20 @@ def _pack_tables(flat: FlatScene):
     mati = jnp.stack([flat.mat_type, flat.mat_tex], axis=1)    # (NM, 2)
     matf = jnp.stack([flat.mat_fuzz, flat.mat_ior], axis=1)    # (NM, 2)
 
-    # textures resolved one level deep: checker children -> solid colors
+    # textures resolved one level deep: checker children -> solid colors.
+    # cols 11-12 carry the child row ids so the gradient kernel can route
+    # d(attenuation)/d(tex_color) to the parity-selected child row; col 13
+    # flags Perlin-noise rows (marble evaluated in-kernel from hash noise).
     even_c = flat.tex_color[flat.tex_child_even]
     odd_c = flat.tex_color[flat.tex_child_odd]
     is_chk = (flat.tex_type == TEX_CHECKER).astype(f32)
+    is_noi = (flat.tex_type == TEX_NOISE).astype(f32)
     texf = jnp.concatenate([
         flat.tex_color, flat.tex_scale[:, None], is_chk[:, None],
-        even_c, odd_c], axis=1)                                # (NT, 11)
+        even_c, odd_c,
+        flat.tex_child_even.astype(f32)[:, None],
+        flat.tex_child_odd.astype(f32)[:, None],
+        is_noi[:, None]], axis=1)                              # (NT, 14)
 
     # per-prim resolved material+texture row for the scan-mode kernel: TPU
     # vector units cannot gather by per-lane index, so scan mode reads one
@@ -277,10 +355,11 @@ def _pack_tables(flat: FlatScene):
             flat.tex_color[flat.mat_tex[mt]],                  # 5-7 color
             even_c[flat.mat_tex[mt]],                          # 8-10 even
             odd_c[flat.mat_tex[mt]],                           # 11-13 odd
+            is_noi[flat.mat_tex[mt]][:, None],                 # 14 is_noise
         ], axis=1)
     primmatf = jnp.concatenate(
         [resolved_rows(prim_mat), resolved_rows(flat.med_mat)])
-    # (S+Q+M, 14)
+    # (S+Q+M, 15)
 
     # constant-medium boundary rows (ConstantMedium.cpp:25-96): density,
     # active, sphere boundary, 6 quad boundaries (each 17 cols: corner, u, v,
@@ -297,23 +376,48 @@ def _pack_tables(flat: FlatScene):
         flat.med_sph_center,                                   # 2-4
         flat.med_sph_radius[:, None],                          # 5
         quad_cols,                                             # 6..6+6*17
-        flat.med_mat.astype(f32)[:, None],                     # 108
-    ], axis=1)                                                 # (M, 109)
+        flat.med_mat.astype(f32)[:, None],                     # 6+17*MQ
+    ], axis=1)                                                 # (M, 7+17*MQ)
     return (sphf, quadf, prim_mat, lightf, mati, matf, texf, primmatf,
             medf)
 
 
 # ------------------------------------------------------------- the kernel
 def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
-                 n_samples, sky_gradient, unroll_prims, n_clusters):
+                 n_samples, sky_gradient, unroll_prims, n_clusters,
+                 grad_tex=False, bvh_mode=False, has_noise=False, MQ=6):
+    """grad_tex=True builds the fused forward+backward variant: alongside the
+    radiance image it accumulates d<g, radiance>/d(tex_color[t, c]) for every
+    texture row by exact forward-mode differentiation. Each lane carries
+    weight planes W[t][c] = d(throughput_c)/d(tex_color[t][c]) with the
+    product-rule recurrence W <- W*at*f + th*f*1[eff_row==t] at every scatter
+    (attenuation is channel-diagonal, so no cross-channel terms), and dots
+    them with the upstream cotangent g at every radiance event (miss
+    background, emission). This makes training run at kernel speed for the
+    dominant trainable family (albedo + emission + medium tint = tex_color)
+    instead of the ~1000x slower pure-JAX replay; the reference has no
+    analogue (no autodiff in C++/CUDA). Unrolled-prim scenes only."""
     n_prims = S + Q
+    if grad_tex:
+        assert unroll_prims and M == 0, "grad kernel: unrolled scenes only"
 
-    def kernel(pix_ref, fi_ref, fj_ref, iscal_ref, fscal_ref, sphf_ref,
-               quadf_ref, pmat_ref, lightf_ref, mati_ref, matf_ref, texf_ref,
-               primmat_ref, csph_ref, medf_ref, out_ref):
+    def kernel(pix_ref, fi_ref, fj_ref, *rest):
+        if grad_tex:
+            (g_ref, iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref,
+             lightf_ref, mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
+             medf_ref, nodef_ref, nodei_ref, bprims_ref, out_ref, dg_ref,
+             stack_ref) = rest
+        else:
+            (iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref, lightf_ref,
+             mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref, medf_ref,
+             nodef_ref, nodei_ref, bprims_ref, out_ref, stack_ref) = rest
         pix = pix_ref[:]                                     # (R,128) int32
         seed = iscal_ref[0].astype(jnp.uint32)
         sample_start_f = iscal_ref[1].astype(jnp.float32)
+        pseed = iscal_ref[2].astype(jnp.uint32)              # hash-noise seed
+        if grad_tex:
+            # upstream cotangent d(loss)/d(pixel) planes (zero on pad lanes)
+            cg_r, cg_g, cg_b = g_ref[0], g_ref[1], g_ref[2]
 
         fs = fscal_ref
         cx, cy, cz = fs[0], fs[1], fs[2]                     # camera center
@@ -347,10 +451,10 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
             for p in range(S):
-                scx = sphf_ref[p, 0] + tm * sphf_ref[p, 3]
-                scy = sphf_ref[p, 1] + tm * sphf_ref[p, 4]
-                scz = sphf_ref[p, 2] + tm * sphf_ref[p, 5]
-                rad = sphf_ref[p, 6]
+                scx = sphf_ref[0, p] + tm * sphf_ref[3, p]
+                scy = sphf_ref[1, p] + tm * sphf_ref[4, p]
+                scz = sphf_ref[2, p] + tm * sphf_ref[5, p]
+                rad = sphf_ref[6, p]
                 ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
                 h = _dot3(dx, dy, dz, ocx, ocy, ocz)
                 c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
@@ -362,7 +466,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 in1 = (r1 > T_MIN) & (r1 < best_t)
                 t_p = jnp.where(in0, r0, r1)
                 take = ((disc > 0.0) & (in0 | in1)
-                        & (sphf_ref[p, 7] > 0.5) & (rad > 0.0))
+                        & (sphf_ref[7, p] > 0.5) & (rad > 0.0))
                 inv_r = 1.0 / jnp.maximum(rad, 1e-12)
                 hx = ox + t_p * dx
                 hy = oy + t_p * dy
@@ -373,21 +477,21 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 ny = jnp.where(take, (hy - scy) * inv_r, ny)
                 nz = jnp.where(take, (hz - scz) * inv_r, nz)
             for q in range(Q):
-                qnx, qny, qnz = quadf_ref[q, 9], quadf_ref[q, 10], \
-                    quadf_ref[q, 11]
+                qnx, qny, qnz = quadf_ref[9, q], quadf_ref[10, q], \
+                    quadf_ref[11, q]
                 denom = _dot3(dx, dy, dz, qnx, qny, qnz)
                 par = jnp.abs(denom) < 1e-8
-                t_q = (quadf_ref[q, 12] - _dot3(ox, oy, oz, qnx, qny, qnz)) \
+                t_q = (quadf_ref[12, q] - _dot3(ox, oy, oz, qnx, qny, qnz)) \
                     / jnp.where(par, 1.0, denom)
-                hx = ox + t_q * dx - quadf_ref[q, 0]
-                hy = oy + t_q * dy - quadf_ref[q, 1]
-                hz = oz + t_q * dz - quadf_ref[q, 2]
-                uxq, uyq, uzq = quadf_ref[q, 3], quadf_ref[q, 4], \
-                    quadf_ref[q, 5]
-                vxq, vyq, vzq = quadf_ref[q, 6], quadf_ref[q, 7], \
-                    quadf_ref[q, 8]
-                wxq, wyq, wzq = quadf_ref[q, 13], quadf_ref[q, 14], \
-                    quadf_ref[q, 15]
+                hx = ox + t_q * dx - quadf_ref[0, q]
+                hy = oy + t_q * dy - quadf_ref[1, q]
+                hz = oz + t_q * dz - quadf_ref[2, q]
+                uxq, uyq, uzq = quadf_ref[3, q], quadf_ref[4, q], \
+                    quadf_ref[5, q]
+                vxq, vyq, vzq = quadf_ref[6, q], quadf_ref[7, q], \
+                    quadf_ref[8, q]
+                wxq, wyq, wzq = quadf_ref[13, q], quadf_ref[14, q], \
+                    quadf_ref[15, q]
                 c1 = _cross3(hx, hy, hz, vxq, vyq, vzq)
                 alpha = _dot3(wxq, wyq, wzq, *c1)
                 c2 = _cross3(uxq, uyq, uzq, hx, hy, hz)
@@ -395,7 +499,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 take = (~par & (alpha >= 0.0) & (alpha <= 1.0)
                         & (beta >= 0.0) & (beta <= 1.0)
                         & (t_q > T_MIN) & (t_q < best_t)
-                        & (quadf_ref[q, 17] > 0.5))
+                        & (quadf_ref[17, q] > 0.5))
                 best_t = jnp.where(take, t_q, best_t)
                 mat = jnp.where(take, pmat_ref[S + q], mat)
                 nx = jnp.where(take, qnx + zero, nx)
@@ -427,15 +531,15 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 
             def gather_mat(p, take, mats):
                 return tuple(
-                    jnp.where(take, primmat_ref[p, c], mats[c])
-                    for c in range(14))
+                    jnp.where(take, primmat_ref[c, p], mats[c])
+                    for c in range(15))
 
             def sph_body(p, cr):
                 best_t, nx, ny, nz, mats = cr
-                scx = sphf_ref[p, 0] + tm * sphf_ref[p, 3]
-                scy = sphf_ref[p, 1] + tm * sphf_ref[p, 4]
-                scz = sphf_ref[p, 2] + tm * sphf_ref[p, 5]
-                rad = sphf_ref[p, 6]
+                scx = sphf_ref[0, p] + tm * sphf_ref[3, p]
+                scy = sphf_ref[1, p] + tm * sphf_ref[4, p]
+                scz = sphf_ref[2, p] + tm * sphf_ref[5, p]
+                rad = sphf_ref[6, p]
                 ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
                 h = _dot3(dx, dy, dz, ocx, ocy, ocz)
                 c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
@@ -447,7 +551,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 in1 = (r1 > T_MIN) & (r1 < best_t)
                 t_p = jnp.where(in0, r0, r1)
                 take = ((disc > 0.0) & (in0 | in1)
-                        & (sphf_ref[p, 7] > 0.5) & (rad > 0.0))
+                        & (sphf_ref[7, p] > 0.5) & (rad > 0.0))
                 inv_r = 1.0 / jnp.maximum(rad, 1e-12)
                 best_t = jnp.where(take, t_p, best_t)
                 nx = jnp.where(take, (ox + t_p * dx - scx) * inv_r, nx)
@@ -457,37 +561,120 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 
             def quad_body(q, cr):
                 best_t, nx, ny, nz, mats = cr
-                qnx, qny, qnz = quadf_ref[q, 9], quadf_ref[q, 10], \
-                    quadf_ref[q, 11]
+                qnx, qny, qnz = quadf_ref[9, q], quadf_ref[10, q], \
+                    quadf_ref[11, q]
                 denom = _dot3(dx, dy, dz, qnx, qny, qnz)
                 par = jnp.abs(denom) < 1e-8
-                t_q = (quadf_ref[q, 12]
+                t_q = (quadf_ref[12, q]
                        - _dot3(ox, oy, oz, qnx, qny, qnz)) \
                     / jnp.where(par, 1.0, denom)
-                hx = ox + t_q * dx - quadf_ref[q, 0]
-                hy = oy + t_q * dy - quadf_ref[q, 1]
-                hz = oz + t_q * dz - quadf_ref[q, 2]
-                c1 = _cross3(hx, hy, hz, quadf_ref[q, 6], quadf_ref[q, 7],
-                             quadf_ref[q, 8])
-                alpha = _dot3(quadf_ref[q, 13], quadf_ref[q, 14],
-                              quadf_ref[q, 15], *c1)
-                c2 = _cross3(quadf_ref[q, 3], quadf_ref[q, 4],
-                             quadf_ref[q, 5], hx, hy, hz)
-                beta = _dot3(quadf_ref[q, 13], quadf_ref[q, 14],
-                             quadf_ref[q, 15], *c2)
+                hx = ox + t_q * dx - quadf_ref[0, q]
+                hy = oy + t_q * dy - quadf_ref[1, q]
+                hz = oz + t_q * dz - quadf_ref[2, q]
+                c1 = _cross3(hx, hy, hz, quadf_ref[6, q], quadf_ref[7, q],
+                             quadf_ref[8, q])
+                alpha = _dot3(quadf_ref[13, q], quadf_ref[14, q],
+                              quadf_ref[15, q], *c1)
+                c2 = _cross3(quadf_ref[3, q], quadf_ref[4, q],
+                             quadf_ref[5, q], hx, hy, hz)
+                beta = _dot3(quadf_ref[13, q], quadf_ref[14, q],
+                             quadf_ref[15, q], *c2)
                 take = (~par & (alpha >= 0.0) & (alpha <= 1.0)
                         & (beta >= 0.0) & (beta <= 1.0)
                         & (t_q > T_MIN) & (t_q < best_t)
-                        & (quadf_ref[q, 17] > 0.5))
+                        & (quadf_ref[17, q] > 0.5))
                 best_t = jnp.where(take, t_q, best_t)
                 nx = jnp.where(take, qnx + zero, nx)
                 ny = jnp.where(take, qny + zero, ny)
                 nz = jnp.where(take, qnz + zero, nz)
                 return best_t, nx, ny, nz, gather_mat(S + q, take, mats)
 
-            mats0 = tuple(zero for _ in range(14))
+            mats0 = tuple(zero for _ in range(15))
             cr = (zero + BIG, zero, zero, zero, mats0)
-            if n_clusters:
+            if bvh_mode:
+                # -------- shared-stack flat-BVH traversal (the TPU form of
+                # the reference's hit_flattened, BVHNode.cpp:385-446): one
+                # uniform SMEM stack per tile, descend into a node when ANY
+                # live lane's ray hits its box (scalar reduce + lax.cond —
+                # per-lane stacks are impossible without per-lane gather),
+                # near-child-first by the tile's mean ray direction on the
+                # node's split axis. Leaves run the per-prim masked tests
+                # with dynamic SMEM reads in bvh_prims leaf order.
+                eps = 1e-12
+                idx = 1.0 / jnp.where(jnp.abs(dx) < eps,
+                                      jnp.where(dx < 0, -eps, eps), dx)
+                idy = 1.0 / jnp.where(jnp.abs(dy) < eps,
+                                      jnp.where(dy < 0, -eps, eps), dy)
+                idz = 1.0 / jnp.where(jnp.abs(dz) < eps,
+                                      jnp.where(dz < 0, -eps, eps), dz)
+                mdx = jnp.sum(jnp.where(alive, dx, 0.0))
+                mdy = jnp.sum(jnp.where(alive, dy, 0.0))
+                mdz = jnp.sum(jnp.where(alive, dz, 0.0))
+
+                def leaf_body(p, c):
+                    u = bprims_ref[p]
+                    return jax.lax.cond(
+                        u < S,
+                        lambda a: sph_body(a[0], a[1]),
+                        lambda a: quad_body(a[0] - S, a[1]),
+                        (u, c))
+
+                def t_body(carry):
+                    sp, c = carry
+                    node = stack_ref[sp - 1]
+                    sp = sp - 1
+                    best_t = c[0]
+                    t0x = (nodef_ref[0, node] - ox) * idx
+                    t1x = (nodef_ref[3, node] - ox) * idx
+                    t0y = (nodef_ref[1, node] - oy) * idy
+                    t1y = (nodef_ref[4, node] - oy) * idy
+                    t0z = (nodef_ref[2, node] - oz) * idz
+                    t1z = (nodef_ref[5, node] - oz) * idz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), T_MIN))
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+                    want = alive & (tn <= tf)
+                    any_hit = jnp.sum(jnp.where(want, 1.0, 0.0)) > 0.0
+                    left = nodei_ref[0, node]
+                    right = nodei_ref[1, node]
+                    axis = nodei_ref[2, node]
+                    is_leaf = nodei_ref[3, node] > 0
+
+                    def when_hit(args):
+                        sp, c = args
+
+                        def do_leaf(args):
+                            sp, c = args
+                            return sp, jax.lax.fori_loop(
+                                left, left + right, leaf_body, c)
+
+                        def do_inner(args):
+                            sp, c = args
+                            md = jnp.where(
+                                axis == 0, mdx,
+                                jnp.where(axis == 1, mdy, mdz))
+                            near = jnp.where(md >= 0.0, left, right)
+                            far = jnp.where(md >= 0.0, right, left)
+                            stack_ref[sp] = far
+                            stack_ref[sp + 1] = near   # popped first
+                            return sp + 2, c
+
+                        return jax.lax.cond(is_leaf, do_leaf, do_inner,
+                                            (sp, c))
+
+                    return jax.lax.cond(any_hit, when_hit, lambda a: a,
+                                        (sp, c))
+
+                stack_ref[0] = 0
+                _, cr = jax.lax.while_loop(
+                    lambda carry: carry[0] > 0, t_body,
+                    (jnp.int32(1), cr))
+            elif n_clusters:
                 # guarded reciprocal for the slab test (AABB.cpp:62-165)
                 eps = 1e-12
                 idx = 1.0 / jnp.where(jnp.abs(dx) < eps,
@@ -499,12 +686,12 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 
                 def cluster_body(k, cr):
                     best_t = cr[0]
-                    t0x = (csph_ref[k, 0] - ox) * idx
-                    t1x = (csph_ref[k, 3] - ox) * idx
-                    t0y = (csph_ref[k, 1] - oy) * idy
-                    t1y = (csph_ref[k, 4] - oy) * idy
-                    t0z = (csph_ref[k, 2] - oz) * idz
-                    t1z = (csph_ref[k, 5] - oz) * idz
+                    t0x = (csph_ref[0, k] - ox) * idx
+                    t1x = (csph_ref[3, k] - ox) * idx
+                    t0y = (csph_ref[1, k] - oy) * idy
+                    t1y = (csph_ref[4, k] - oy) * idy
+                    t0z = (csph_ref[2, k] - oz) * idz
+                    t1z = (csph_ref[5, k] - oz) * idz
                     tn = jnp.maximum(
                         jnp.maximum(jnp.minimum(t0x, t1x),
                                     jnp.minimum(t0y, t1y)),
@@ -525,7 +712,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 cr = jax.lax.fori_loop(0, n_clusters, cluster_body, cr)
             elif S:
                 cr = jax.lax.fori_loop(0, S, sph_body, cr)
-            if Q:
+            if Q and not bvh_mode:       # the BVH covers quads too
                 cr = jax.lax.fori_loop(0, Q, quad_body, cr)
             best_t, nx, ny, nz, mats = cr
             hit = best_t < BIG * 0.5
@@ -540,7 +727,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 
         # --------------------- checker/solid color from resolved tex planes
         def tex_eval_planes(is_chk_f, scale, cr, cg, cb, er, eg, eb,
-                            o_r, o_g, o_b, px, py, pz):
+                            o_r, o_g, o_b, is_noi_f, px, py, pz, turb):
             inv = 1.0 / jnp.maximum(scale, 1e-12)
             fx = jnp.floor(inv * px).astype(jnp.int32)
             fy = jnp.floor(inv * py).astype(jnp.int32)
@@ -550,47 +737,76 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             tr = jnp.where(chk, jnp.where(even, er, o_r), cr)
             tg = jnp.where(chk, jnp.where(even, eg, o_g), cg)
             tb = jnp.where(chk, jnp.where(even, eb, o_b), cb)
+            if turb is not None:
+                # marble: grayscale 0.5*(1+sin(scale*z + 10*turb))
+                # (NoiseTexture.cpp:8-33); turb is row-independent
+                marble = 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * turb))
+                noi = is_noi_f > 0.5
+                tr = jnp.where(noi, marble, tr)
+                tg = jnp.where(noi, marble, tg)
+                tb = jnp.where(noi, marble, tb)
             return tr, tg, tb
 
         # ----------------------------- texture color at (point, tex index)
-        def texture_color(tex, px, py, pz):
+        def texture_color(tex, px, py, pz, turb):
+            """Color planes; with grad_tex also the *effective* texture row
+            (checker lanes resolve to the parity-selected child row via texf
+            cols 11-12) so gradients route to the owning tex_color row.
+            Noise rows (texf col 13) evaluate hash-noise marble in-kernel
+            and carry no tex_color dependence (eff = -1)."""
             rr, gg, bb = zero, zero, zero
+            eff = zero - 1.0
             for t in range(NT):
-                inv = 1.0 / jnp.maximum(texf_ref[t, 3], 1e-12)
+                inv = 1.0 / jnp.maximum(texf_ref[3, t], 1e-12)
                 fx = jnp.floor(inv * px).astype(jnp.int32)
                 fy = jnp.floor(inv * py).astype(jnp.int32)
                 fz = jnp.floor(inv * pz).astype(jnp.int32)
                 # parity via bit-and (int % is not a VPU op; two's complement
                 # &1 gives the same odd/even answer for negatives)
                 even = ((fx + fy + fz) & 1) == 0
-                is_chk = texf_ref[t, 4] > 0.5
+                is_chk = texf_ref[4, t] > 0.5
                 cr = jnp.where(is_chk,
-                               jnp.where(even, texf_ref[t, 5], texf_ref[t, 8]),
-                               texf_ref[t, 0])
+                               jnp.where(even, texf_ref[5, t], texf_ref[8, t]),
+                               texf_ref[0, t])
                 cg = jnp.where(is_chk,
-                               jnp.where(even, texf_ref[t, 6], texf_ref[t, 9]),
-                               texf_ref[t, 1])
+                               jnp.where(even, texf_ref[6, t], texf_ref[9, t]),
+                               texf_ref[1, t])
                 cb = jnp.where(is_chk,
-                               jnp.where(even, texf_ref[t, 7],
-                                         texf_ref[t, 10]),
-                               texf_ref[t, 2])
+                               jnp.where(even, texf_ref[7, t],
+                                         texf_ref[10, t]),
+                               texf_ref[2, t])
+                if turb is not None:
+                    marble = 0.5 * (1.0 + jnp.sin(
+                        texf_ref[3, t] * pz + 10.0 * turb))
+                    noi = texf_ref[13, t] > 0.5
+                    cr = jnp.where(noi, marble, cr)
+                    cg = jnp.where(noi, marble, cg)
+                    cb = jnp.where(noi, marble, cb)
                 m = tex == t
                 rr = jnp.where(m, cr, rr)
                 gg = jnp.where(m, cg, gg)
                 bb = jnp.where(m, cb, bb)
-            return rr, gg, bb
+                if grad_tex:
+                    row = jnp.where(is_chk,
+                                    jnp.where(even, texf_ref[11, t],
+                                              texf_ref[12, t]),
+                                    float(t))
+                    if turb is not None:
+                        row = jnp.where(texf_ref[13, t] > 0.5, -1.0, row)
+                    eff = jnp.where(m, row, eff)
+            return rr, gg, bb, eff
 
         # ----------------------------- light pdf / sample (unrolled over L)
         def light_pdf(ox, oy, oz, dx, dy, dz, tm):
             """Uniform-average solid-angle pdf (lights.light_pdf_value)."""
             total = zero
             for l in range(L):
-                is_s = lightf_ref[l, 0] > 0.5
+                is_s = lightf_ref[0, l] > 0.5
                 # sphere: hit test + cone solid angle (Sphere.cpp:145-158)
-                scx = lightf_ref[l, 1] + tm * lightf_ref[l, 4]
-                scy = lightf_ref[l, 2] + tm * lightf_ref[l, 5]
-                scz = lightf_ref[l, 3] + tm * lightf_ref[l, 6]
-                rad = lightf_ref[l, 7]
+                scx = lightf_ref[1, l] + tm * lightf_ref[4, l]
+                scy = lightf_ref[2, l] + tm * lightf_ref[5, l]
+                scz = lightf_ref[3, l] + tm * lightf_ref[6, l]
+                rad = lightf_ref[7, l]
                 ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
                 a = _dot3(dx, dy, dz, dx, dy, dz)
                 h = _dot3(dx, dy, dz, ocx, ocy, ocz)
@@ -609,30 +825,30 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 pdf_s = jnp.where(hit_s,
                                   1.0 / jnp.maximum(solid, 1e-12), 0.0)
                 # quad: hit test + dist^2/(cos*area) (Plane.cpp:115-126)
-                qnx, qny, qnz = lightf_ref[l, 17], lightf_ref[l, 18], \
-                    lightf_ref[l, 19]
+                qnx, qny, qnz = lightf_ref[17, l], lightf_ref[18, l], \
+                    lightf_ref[19, l]
                 denom = _dot3(dx, dy, dz, qnx, qny, qnz)
                 par = jnp.abs(denom) < 1e-8
-                t_q = (lightf_ref[l, 20]
+                t_q = (lightf_ref[20, l]
                        - _dot3(ox, oy, oz, qnx, qny, qnz)) \
                     / jnp.where(par, 1.0, denom)
-                hx = ox + t_q * dx - lightf_ref[l, 8]
-                hy = oy + t_q * dy - lightf_ref[l, 9]
-                hz = oz + t_q * dz - lightf_ref[l, 10]
-                wxq, wyq, wzq = lightf_ref[l, 21], lightf_ref[l, 22], \
-                    lightf_ref[l, 23]
-                c1 = _cross3(hx, hy, hz, lightf_ref[l, 14],
-                             lightf_ref[l, 15], lightf_ref[l, 16])
+                hx = ox + t_q * dx - lightf_ref[8, l]
+                hy = oy + t_q * dy - lightf_ref[9, l]
+                hz = oz + t_q * dz - lightf_ref[10, l]
+                wxq, wyq, wzq = lightf_ref[21, l], lightf_ref[22, l], \
+                    lightf_ref[23, l]
+                c1 = _cross3(hx, hy, hz, lightf_ref[14, l],
+                             lightf_ref[15, l], lightf_ref[16, l])
                 alpha = _dot3(wxq, wyq, wzq, *c1)
-                c2 = _cross3(lightf_ref[l, 11], lightf_ref[l, 12],
-                             lightf_ref[l, 13], hx, hy, hz)
+                c2 = _cross3(lightf_ref[11, l], lightf_ref[12, l],
+                             lightf_ref[13, l], hx, hy, hz)
                 beta = _dot3(wxq, wyq, wzq, *c2)
                 hit_q = (~par & (alpha >= 0.0) & (alpha <= 1.0)
                          & (beta >= 0.0) & (beta <= 1.0) & (t_q > T_MIN))
                 cosine = jnp.abs(denom)   # dr unit
                 pdf_q = jnp.where(
                     hit_q,
-                    t_q * t_q / jnp.maximum(cosine * lightf_ref[l, 24],
+                    t_q * t_q / jnp.maximum(cosine * lightf_ref[24, l],
                                             1e-12),
                     0.0)
                 total = total + jnp.where(is_s, pdf_s, pdf_q)
@@ -643,12 +859,12 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             sel = jnp.clip((u_sel * L).astype(jnp.int32), 0, max(L - 1, 0))
             gx, gy, gz = zero, zero, zero
             for l in range(L):
-                is_s = lightf_ref[l, 0] > 0.5
+                is_s = lightf_ref[0, l] > 0.5
                 # sphere: cone sample via ONB toward center (Sphere.cpp:160-188)
-                scx = lightf_ref[l, 1] + tm * lightf_ref[l, 4]
-                scy = lightf_ref[l, 2] + tm * lightf_ref[l, 5]
-                scz = lightf_ref[l, 3] + tm * lightf_ref[l, 6]
-                rad = lightf_ref[l, 7]
+                scx = lightf_ref[1, l] + tm * lightf_ref[4, l]
+                scy = lightf_ref[2, l] + tm * lightf_ref[5, l]
+                scz = lightf_ref[3, l] + tm * lightf_ref[6, l]
+                rad = lightf_ref[7, l]
                 tox, toy, toz = scx - ox, scy - oy, scz - oz
                 dist2 = jnp.maximum(
                     _dot3(tox, toy, toz, tox, toy, toz), 1e-12)
@@ -664,12 +880,12 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 syy = lx * uy + ly * vy + zc * wy
                 szz = lx * uz + ly * vz + zc * wz
                 # quad: uniform area point (Plane.cpp:128-133)
-                qx = (lightf_ref[l, 8] + u1 * lightf_ref[l, 11]
-                      + u2 * lightf_ref[l, 14]) - ox
-                qy = (lightf_ref[l, 9] + u1 * lightf_ref[l, 12]
-                      + u2 * lightf_ref[l, 15]) - oy
-                qz = (lightf_ref[l, 10] + u1 * lightf_ref[l, 13]
-                      + u2 * lightf_ref[l, 16]) - oz
+                qx = (lightf_ref[8, l] + u1 * lightf_ref[11, l]
+                      + u2 * lightf_ref[14, l]) - ox
+                qy = (lightf_ref[9, l] + u1 * lightf_ref[12, l]
+                      + u2 * lightf_ref[15, l]) - oy
+                qz = (lightf_ref[10, l] + u1 * lightf_ref[13, l]
+                      + u2 * lightf_ref[16, l]) - oz
                 m = sel == l
                 gx = jnp.where(m, jnp.where(is_s, sxx, qx), gx)
                 gy = jnp.where(m, jnp.where(is_s, syy, qy), gy)
@@ -687,8 +903,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             a = _dot3(dx, dy, dz, dx, dy, dz)
             raylen = jnp.sqrt(a)
             for m in range(M):
-                scx, scy, scz = medf_ref[m, 2], medf_ref[m, 3], medf_ref[m, 4]
-                rad = medf_ref[m, 5]
+                scx, scy, scz = medf_ref[2, m], medf_ref[3, m], medf_ref[4, m]
+                rad = medf_ref[5, m]
                 ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
                 h = _dot3(dx, dy, dz, ocx, ocy, ocz)
                 c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
@@ -697,29 +913,29 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 ok_s = (disc > 0.0) & (rad > 0.0)
                 ts = [jnp.where(ok_s, (h - sq) / a, BIG),
                       jnp.where(ok_s, (h + sq) / a, BIG)]
-                for j in range(6):
+                for j in range(MQ):
                     b = 6 + 17 * j
-                    qnx, qny, qnz = medf_ref[m, b + 9], medf_ref[m, b + 10], \
-                        medf_ref[m, b + 11]
+                    qnx, qny, qnz = medf_ref[b + 9, m], medf_ref[b + 10, m], \
+                        medf_ref[b + 11, m]
                     denom = _dot3(dx, dy, dz, qnx, qny, qnz)
                     par = jnp.abs(denom) < 1e-8
-                    t_q = (medf_ref[m, b + 12]
+                    t_q = (medf_ref[b + 12, m]
                            - _dot3(ox, oy, oz, qnx, qny, qnz)) \
                         / jnp.where(par, 1.0, denom)
-                    hx = ox + t_q * dx - medf_ref[m, b + 0]
-                    hy = oy + t_q * dy - medf_ref[m, b + 1]
-                    hz = oz + t_q * dz - medf_ref[m, b + 2]
-                    c1 = _cross3(hx, hy, hz, medf_ref[m, b + 6],
-                                 medf_ref[m, b + 7], medf_ref[m, b + 8])
-                    alpha = _dot3(medf_ref[m, b + 13], medf_ref[m, b + 14],
-                                  medf_ref[m, b + 15], *c1)
-                    c2 = _cross3(medf_ref[m, b + 3], medf_ref[m, b + 4],
-                                 medf_ref[m, b + 5], hx, hy, hz)
-                    beta = _dot3(medf_ref[m, b + 13], medf_ref[m, b + 14],
-                                 medf_ref[m, b + 15], *c2)
+                    hx = ox + t_q * dx - medf_ref[b + 0, m]
+                    hy = oy + t_q * dy - medf_ref[b + 1, m]
+                    hz = oz + t_q * dz - medf_ref[b + 2, m]
+                    c1 = _cross3(hx, hy, hz, medf_ref[b + 6, m],
+                                 medf_ref[b + 7, m], medf_ref[b + 8, m])
+                    alpha = _dot3(medf_ref[b + 13, m], medf_ref[b + 14, m],
+                                  medf_ref[b + 15, m], *c1)
+                    c2 = _cross3(medf_ref[b + 3, m], medf_ref[b + 4, m],
+                                 medf_ref[b + 5, m], hx, hy, hz)
+                    beta = _dot3(medf_ref[b + 13, m], medf_ref[b + 14, m],
+                                 medf_ref[b + 15, m], *c2)
                     ok_q = (~par & (alpha >= 0.0) & (alpha <= 1.0)
                             & (beta >= 0.0) & (beta <= 1.0)
-                            & (medf_ref[m, b + 16] > 0.5))
+                            & (medf_ref[b + 16, m] > 0.5))
                     ts.append(jnp.where(ok_q, t_q, BIG))
                 entry = ts[0]
                 for t in ts[1:]:
@@ -731,10 +947,10 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 crossed = (entry < BIG * 0.5) & (exit_ < BIG * 0.5)
                 t1 = jnp.maximum(entry, T_MIN)
                 t2 = jnp.minimum(exit_, t_surf)
-                span_ok = crossed & (t1 < t2) & (medf_ref[m, 1] > 0.5)
+                span_ok = crossed & (t1 < t2) & (medf_ref[1, m] > 0.5)
                 t2_safe = jnp.where(span_ok, t2, t1 + 1.0)
                 dist_inside = (t2_safe - t1) * raylen
-                hit_dist = medf_ref[m, 0] * jnp.log(
+                hit_dist = medf_ref[0, m] * jnp.log(
                     jnp.maximum(u_med[m], 1e-12))
                 scat = span_ok & (hit_dist < dist_inside)
                 t_med = jnp.where(scat, t1 + hit_dist / raylen, BIG)
@@ -783,7 +999,10 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             (pixel, sample, bounce) are unchanged, so results still match the
             pure-JAX oracle."""
             (ox, oy, oz, dx, dy, dz, thx, thy, thz,
-             rx, ry, rz, alive_f, b_f, s_f, tm, _work) = st
+             rx, ry, rz, alive_f, b_f, s_f, tm, _work) = st[:17]
+            if grad_tex:
+                Wp = list(st[17:17 + 3 * NT])      # d th_c / d tex[t, c]
+                Gp = list(st[17 + 3 * NT:])        # accumulated cotangents
 
             # --- regenerate dead lanes that still have samples left
             regen = (alive_f < 0.5) & (s_f + 1.0 < n_samples)
@@ -802,6 +1021,9 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             thz = jnp.where(regen, 1.0, thz)
             b_f = jnp.where(regen, 0.0, b_f)
             alive = (alive_f > 0.5) | regen
+            if grad_tex:
+                # a fresh path starts with throughput 1 (no tex dependence)
+                Wp = [jnp.where(regen, 0.0, w) for w in Wp]
 
             k1 = _f2u(s_abs_f)
             u = _draws(k0, k1, k2,
@@ -835,14 +1057,22 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                     for m in range(M):
                         sel = med_on & (med_row == float(m))
                         mat = jnp.where(
-                            sel, medf_ref[m, 108].astype(jnp.int32), mat)
+                            sel,
+                            medf_ref[6 + 17 * MQ, m].astype(jnp.int32),
+                            mat)
                 else:
                     for m in range(M):
                         sel = med_on & (med_row == float(m))
                         mats = tuple(
-                            jnp.where(sel, primmat_ref[S + Q + m, c],
+                            jnp.where(sel, primmat_ref[c, S + Q + m],
                                       mats[c])
-                            for c in range(14))
+                            for c in range(15))
+
+            # hash-noise turbulence at the hit point, shared by every noise
+            # texture row this bounce (the marble phase is the only per-row
+            # term; NoiseTexture.cpp:8-33). Static-gated: noise-free scenes
+            # trace no turbulence ops at all.
+            turb = _turbulence3(px, py, pz, pseed) if has_noise else None
 
             # 1. miss -> background (Camera.cpp:242-243)
             if sky_gradient:
@@ -856,6 +1086,14 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             rx = rx + jnp.where(miss, thx * sbx, 0.0)
             ry = ry + jnp.where(miss, thy * sby, 0.0)
             rz = rz + jnp.where(miss, thz * sbz, 0.0)
+            if grad_tex:
+                # radiance event through th only (background is constant)
+                sbc = (sbx, sby, sbz)
+                gc = (cg_r, cg_g, cg_b)
+                for t in range(NT):
+                    for c in range(3):
+                        Gp[3 * t + c] = Gp[3 * t + c] + jnp.where(
+                            miss, gc[c] * Wp[3 * t + c] * sbc[c], 0.0)
 
             if unroll_prims:
                 # gather material row (masked-select over NM rows)
@@ -865,11 +1103,11 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 ior = zero + 1.0
                 for m in range(NM):
                     sel = mat == m
-                    mtype = jnp.where(sel, mati_ref[m, 0], mtype)
-                    mtex = jnp.where(sel, mati_ref[m, 1], mtex)
-                    fuzz = jnp.where(sel, matf_ref[m, 0], fuzz)
-                    ior = jnp.where(sel, matf_ref[m, 1], ior)
-                tr, tg, tb = texture_color(mtex, px, py, pz)
+                    mtype = jnp.where(sel, mati_ref[0, m], mtype)
+                    mtex = jnp.where(sel, mati_ref[1, m], mtex)
+                    fuzz = jnp.where(sel, matf_ref[0, m], fuzz)
+                    ior = jnp.where(sel, matf_ref[1, m], ior)
+                tr, tg, tb, eff_tex = texture_color(mtex, px, py, pz, turb)
                 is_light = mtype == MAT_DIFFUSE_LIGHT
                 is_metal = mtype == MAT_METAL
                 is_diel = mtype == MAT_DIELECTRIC
@@ -877,7 +1115,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             else:
                 mtype_f, fuzz, ior = mats[0], mats[1], mats[2]
                 ior = jnp.where(ior == 0.0, 1.0, ior)  # padded rows
-                tr, tg, tb = tex_eval_planes(*mats[3:14], px, py, pz)
+                tr, tg, tb = tex_eval_planes(*mats[3:14], mats[14],
+                                             px, py, pz, turb)
                 is_light = mtype_f == float(MAT_DIFFUSE_LIGHT)
                 is_metal = mtype_f == float(MAT_METAL)
                 is_diel = mtype_f == float(MAT_DIELECTRIC)
@@ -889,6 +1128,19 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             rx = rx + jnp.where(emit_on, thx * tr, 0.0)
             ry = ry + jnp.where(emit_on, thy * tg, 0.0)
             rz = rz + jnp.where(emit_on, thz * tb, 0.0)
+            if grad_tex:
+                # radiance event th*tr: product rule — through th (W) and
+                # directly through the light's own texture row (eff_tex)
+                tc = (tr, tg, tb)
+                thc = (thx, thy, thz)
+                for t in range(NT):
+                    ind = eff_tex == float(t)
+                    for c in range(3):
+                        Gp[3 * t + c] = Gp[3 * t + c] + jnp.where(
+                            emit_on,
+                            gc[c] * (Wp[3 * t + c] * tc[c]
+                                     + jnp.where(ind, thc[c], 0.0)),
+                            0.0)
 
             # 3-4. scatter (materials.scatter semantics)
             # metal: mirror + fuzz jitter (MetalMaterial.cpp:10-62)
@@ -982,6 +1234,18 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             ndx, ndy, ndz = _where3(skip_pdf, skx, sky_, skz,
                                     gdx, gdy, gdz)
 
+            if grad_tex:
+                # product rule through th <- th * at * factor; at is the
+                # eff_tex row's color for every family except dielectric
+                # (at=1 const), and factor never depends on tex_color
+                atc = (atx, aty, atz)
+                for t in range(NT):
+                    ind = (eff_tex == float(t)) & ~is_diel
+                    for c in range(3):
+                        w_new = (Wp[3 * t + c] * atc[c]
+                                 + jnp.where(ind, thc[c], 0.0)) * factor
+                        Wp[3 * t + c] = jnp.where(live_hit, w_new,
+                                                  Wp[3 * t + c])
             thx = jnp.where(live_hit, thx * atx * factor, thx)
             thy = jnp.where(live_hit, thy * aty * factor, thy)
             thz = jnp.where(live_hit, thz * atz * factor, thz)
@@ -994,9 +1258,12 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             alive_new = (live_hit & scatters & (skip_pdf | pdf_ok)
                          & (b_f < max_depth))
             work = alive_new | (s_f + 1.0 < n_samples)
-            return (ox, oy, oz, dx, dy, dz, thx, thy, thz,
-                    rx, ry, rz, jnp.where(alive_new, zero + 1.0, zero), b_f,
-                    s_f, tm, jnp.where(work, zero + 1.0, zero))
+            out = (ox, oy, oz, dx, dy, dz, thx, thy, thz,
+                   rx, ry, rz, jnp.where(alive_new, zero + 1.0, zero), b_f,
+                   s_f, tm, jnp.where(work, zero + 1.0, zero))
+            if grad_tex:
+                out = out + tuple(Wp) + tuple(Gp)
+            return out
 
         # persistent-wavefront loop: run until every lane is dead AND has
         # exhausted its samples
@@ -1010,6 +1277,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  zero,                                  # local sample idx
                  gtm,                                   # ray time
                  zero + 1.0)                            # work-left mask
+        if grad_tex:
+            state = state + tuple(zero for _ in range(6 * NT))
 
         def w_cond(st):
             return jnp.sum(st[16]) > 0.0
@@ -1018,6 +1287,12 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         out_ref[0] = out[9]
         out_ref[1] = out[10]
         out_ref[2] = out[11]
+        if grad_tex:
+            # per-tile partial gradient rows: reduce the lane planes over
+            # sublanes here, leave the (tile, lane) reduction to XLA
+            dg_ref[0] = jnp.stack(
+                [jnp.sum(out[17 + 3 * NT + k], axis=0)
+                 for k in range(3 * NT)])
 
     return kernel
 
@@ -1029,8 +1304,9 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                        width: int, height: int, n_strata: int,
                        max_depth: int, n_samples: int,
-                       sky_gradient: bool = False, rows_per_tile: int = 32,
-                       interpret: bool = False, row0=0):
+                       sky_gradient: bool = False,
+                       rows_per_tile: int | None = None,
+                       interpret: bool = False, row0=0, cotangent=None):
     """Sum of n_samples stratified samples, (height, width, 3) — fused kernel.
 
     Drop-in replacement for models.render._render_pass (same RNG streams,
@@ -1039,6 +1315,12 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     row0 (traced int) offsets pixel ids by row0*width: a mesh shard renders
     its local `height` rows with ABSOLUTE pixel ids, so per-(pixel, sample)
     RNG streams — and the image — are invariant to the mesh layout.
+
+    cotangent ((height, width, 3) = d(loss)/d(image sum)): build the fused
+    forward+backward variant instead — returns (image, dG) where dG (NT, 3)
+    is d(loss)/d(flat.tex_color), computed by in-kernel forward-mode
+    accumulation (see _make_kernel grad_tex). Unrolled-mode scenes without
+    constant mediums only (use supports_pallas_grad to gate).
     """
     S = flat.sph_center.shape[0]
     Q = flat.quad_corner.shape[0]
@@ -1051,18 +1333,36 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         medf = medf[:1]                # unread; keep SMEM slim
         primmatf = primmatf[:S + Q]    # drop medium rows
     unroll = _use_unrolled(S, Q, int(mati.shape[0]), int(texf.shape[0]))
+    bvh_mode = bool(flat.use_bvh) and not unroll
+    if rows_per_tile is None:
+        # measured sweet spots (BASELINE.md): 32 rows for unrolled Cornell-
+        # class scenes; 16 for prim-scan/BVH scenes, where smaller tiles make
+        # whole-tile cluster/node culling noticeably tighter
+        rows_per_tile = 32 if unroll else 16
     csph = jnp.zeros((1, 6), jnp.float32)
+    nodef = jnp.zeros((1, 6), jnp.float32)
+    nodei = jnp.zeros((1, 4), jnp.int32)
+    bprims = jnp.zeros((1,), jnp.int32)
     n_clusters = 0
     if unroll:
         primmatf = primmatf[:1]        # scan tables unused; keep SMEM slim
     else:
         mati, matf, texf = mati[:1], matf[:1], texf[:1]
-        sphf, pm_s, cbox = _cluster_spheres(sphf, primmatf[:S])
-        if cbox is not None:
-            primmatf = jnp.concatenate([pm_s, primmatf[S:]], axis=0)
-            S = sphf.shape[0]          # padded to a CLUSTER multiple
-            csph = cbox
-            n_clusters = int(cbox.shape[0])
+        if bvh_mode:
+            # flat SAH BVH built at compile time (ops.bvh.build_bvh); the
+            # kernel traverses it with a shared SMEM stack
+            nodef = jnp.concatenate([flat.bvh_bbox_min, flat.bvh_bbox_max],
+                                    axis=1)
+            nodei = jnp.stack([flat.bvh_left, flat.bvh_right, flat.bvh_axis,
+                               flat.bvh_leaf.astype(jnp.int32)], axis=1)
+            bprims = flat.bvh_prims
+        else:
+            sphf, pm_s, cbox = _cluster_spheres(sphf, primmatf[:S])
+            if cbox is not None:
+                primmatf = jnp.concatenate([pm_s, primmatf[S:]], axis=0)
+                S = sphf.shape[0]      # padded to a CLUSTER multiple
+                csph = cbox
+                n_clusters = int(cbox.shape[0])
 
     n_pix = width * height
     R = rows_per_tile
@@ -1079,35 +1379,72 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
           + row0.astype(jnp.float32)).reshape(n_tiles * R, lane)
 
     iscal = jnp.stack([jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
-                       jnp.asarray(sample_start, jnp.int32)])
+                       jnp.asarray(sample_start, jnp.int32),
+                       jnp.asarray(flat.perlin_seed,
+                                   jnp.uint32).astype(jnp.int32)])
     fscal = jnp.concatenate([
         cam.center, cam.pixel00, cam.pixel_du, cam.pixel_dv,
         cam.defocus_u, cam.defocus_v, cam.defocus_on[None],
         cam.background]).astype(jnp.float32)
 
+    grad_tex = cotangent is not None
+    NT_k = int(texf.shape[0])
     kernel = _make_kernel(
-        S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=int(texf.shape[0]), M=M,
+        S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=NT_k, M=M,
         R=R, width=width, n_pix=n_pix, n_strata=n_strata,
         max_depth=max_depth, n_samples=n_samples, sky_gradient=sky_gradient,
-        unroll_prims=unroll, n_clusters=n_clusters)
+        unroll_prims=unroll, n_clusters=n_clusters, grad_tex=grad_tex,
+        bvh_mode=bvh_mode, has_noise=flat.has_noise,
+        MQ=int(flat.med_quad_corner.shape[1]))
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [tile_spec(), tile_spec(), tile_spec()]
+    inputs = [pix, fi, fj]
+    out_specs = pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((3, n_tiles * R, lane), jnp.float32)
+    if grad_tex:
+        # cotangent planes in the lane layout of the output; pad lanes get
+        # zero so the duplicated trailing pixel cannot double-count
+        g = jnp.moveaxis(cotangent.reshape(n_pix, 3), -1, 0)
+        g = jnp.zeros((3, n_tiles * rays_per_tile),
+                      jnp.float32).at[:, :n_pix].set(g)
+        inputs.append(g.reshape(3, n_tiles * R, lane))
+        in_specs.append(pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 3 * NT_k, lane), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n_tiles, 3 * NT_k, lane),
+                                          jnp.float32)]
+    # SMEM tables go in TRANSPOSED, (cols, rows): Mosaic pads each SMEM-window
+    # row to a full 512 B lane group, so (rows, cols) layout costs
+    # rows x 512 B regardless of cols — 16-64x the data — and caps scenes at
+    # ~2k table rows against the 1 MiB SMEM budget. (cols, rows) puts the
+    # long dimension minor: the pad is amortized once per column and an
+    # 8000-prim table costs its actual byte size. All kernel reads are
+    # scalar [col, row].
+    inputs += [iscal, fscal, sphf.T, quadf.T, prim_mat, lightf.T, mati.T,
+               matf.T, texf.T, primmatf.T, csph.T, medf.T, nodef.T, nodei.T,
+               bprims]
+    in_specs += [smem()] * 15
+
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            tile_spec(), tile_spec(), tile_spec(),
-            smem(), smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-            smem(), smem(), smem(), smem(),
-        ],
-        out_specs=pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, n_tiles * R, lane), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((BVH_STACK,), jnp.int32)],
         interpret=interpret,
-    )(pix, fi, fj, iscal, fscal, sphf, quadf, prim_mat, lightf, mati, matf,
-      texf, primmatf, csph, medf)
+    )(*inputs)
 
+    if grad_tex:
+        out, dg = out
+        dg = dg.sum(axis=(0, 2)).reshape(NT_k, 3)
     img = out.reshape(3, n_tiles * rays_per_tile)[:, :n_pix]
-    return jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
+    img = jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
+    return (img, dg) if grad_tex else img

@@ -24,7 +24,7 @@ from .flat import (FlatScene, MAT_LAMBERTIAN, MAT_METAL, MAT_DIELECTRIC,
                    TEX_NOISE)
 from ..utils import perlin
 
-MAX_MED_QUADS = 6
+MIN_MED_QUADS = 6   # table floor (a box boundary); grows to the scene max
 
 
 class _Tables:
@@ -150,6 +150,9 @@ def _walk(obj, R, t, tab: _Tables, out_spheres, out_quads):
         m = tab.add_material(obj.material)
         for corner, u, v in _box_quads(obj.a, obj.b):
             out_quads.append(_quad_row(R @ corner + t, R @ u, R @ v, m))
+    elif isinstance(obj, S.Group):
+        for child in obj.children:
+            _walk(child, R, t, tab, out_spheres, out_quads)
     elif isinstance(obj, S.Translate):
         off = np.asarray(obj.offset, np.float64)
         _walk(obj.child, R, t + R @ off, tab, out_spheres, out_quads)
@@ -159,9 +162,13 @@ def _walk(obj, R, t, tab: _Tables, out_spheres, out_quads):
     elif isinstance(obj, S.ConstantMedium):
         b_spheres, b_quads = [], []
         _walk(obj.boundary, R, t, tab, b_spheres, b_quads)
-        if len(b_spheres) > 1 or len(b_quads) > MAX_MED_QUADS:
+        # arbitrary-quad-count convex boundaries are supported (the quad
+        # table grows to the scene's max); only multi-sphere boundaries
+        # remain out of model (ConstantMedium.cpp:25-96 needs exactly one
+        # entry/exit pair, which one sphere + N planes provides)
+        if len(b_spheres) > 1:
             raise ValueError("constant_medium boundary too complex "
-                             f"({len(b_spheres)} spheres, {len(b_quads)} quads)")
+                             f"({len(b_spheres)} spheres)")
         iso = tab.add_material(S.Isotropic(obj.texture))
         tab.mediums.append(dict(neg_inv_density=-1.0 / float(obj.density),
                                 mat=iso, spheres=b_spheres, quads=b_quads))
@@ -221,13 +228,14 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
     med = tab.mediums
     med_sph_center = np.zeros((m_pad, 3))
     med_sph_radius = np.zeros(m_pad)
-    med_qc = np.zeros((m_pad, MAX_MED_QUADS, 3))
-    med_qu = np.zeros((m_pad, MAX_MED_QUADS, 3))
-    med_qv = np.zeros((m_pad, MAX_MED_QUADS, 3))
-    med_qn = np.tile(np.array([0.0, 0.0, 1.0]), (m_pad, MAX_MED_QUADS, 1))
-    med_qd = np.zeros((m_pad, MAX_MED_QUADS))
-    med_qw = np.zeros((m_pad, MAX_MED_QUADS, 3))
-    med_qact = np.zeros((m_pad, MAX_MED_QUADS), bool)
+    mq_pad = max([MIN_MED_QUADS] + [len(m["quads"]) for m in med])
+    med_qc = np.zeros((m_pad, mq_pad, 3))
+    med_qu = np.zeros((m_pad, mq_pad, 3))
+    med_qv = np.zeros((m_pad, mq_pad, 3))
+    med_qn = np.tile(np.array([0.0, 0.0, 1.0]), (m_pad, mq_pad, 1))
+    med_qd = np.zeros((m_pad, mq_pad))
+    med_qw = np.zeros((m_pad, mq_pad, 3))
+    med_qact = np.zeros((m_pad, mq_pad), bool)
     med_nid = np.full(m_pad, -1e9)
     med_mat = np.zeros(m_pad, np.int64)
     for i, m in enumerate(med):
@@ -244,8 +252,6 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
             med_qd[i, j] = q["d"]
             med_qw[i, j] = q["w"]
             med_qact[i, j] = True
-
-    grad, px, py, pz = perlin.make_tables(scene.perlin_seed)
 
     flat = FlatScene(
         sph_center=_f32([s["center"] for s in spheres_p]),
@@ -288,10 +294,7 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
         tex_scale=_f32([t["scale"] for t in tab.tex_rows]),
         tex_child_even=_i32([t["even"] for t in tab.tex_rows]),
         tex_child_odd=_i32([t["odd"] for t in tab.tex_rows]),
-        perlin_grad=jnp.asarray(grad),
-        perlin_px=jnp.asarray(px),
-        perlin_py=jnp.asarray(py),
-        perlin_pz=jnp.asarray(pz),
+        perlin_seed=jnp.asarray(scene.perlin_seed, jnp.uint32),
         bvh_bbox_min=_f32(np.zeros((1, 3))),
         bvh_bbox_max=_f32(np.zeros((1, 3))),
         bvh_left=_i32([0]),

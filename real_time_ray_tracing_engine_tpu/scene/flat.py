@@ -73,11 +73,10 @@ class FlatScene:
     tex_child_even: jnp.ndarray  # (NT,) int32
     tex_child_odd: jnp.ndarray   # (NT,) int32
 
-    # --- perlin tables (shared per scene)
-    perlin_grad: jnp.ndarray     # (256, 3)
-    perlin_px: jnp.ndarray       # (256,) int32
-    perlin_py: jnp.ndarray       # (256,) int32
-    perlin_pz: jnp.ndarray       # (256,) int32
+    # --- hash-noise seed (shared per scene; utils/perlin.py derives lattice
+    # gradients arithmetically from it — no tables, so noise runs inside the
+    # Pallas megakernel where per-lane table gathers are impossible)
+    perlin_seed: jnp.ndarray     # () uint32
 
     # --- flat BVH over unified prims (always present; 1-node dummy if unused)
     bvh_bbox_min: jnp.ndarray    # (B, 3)

@@ -137,6 +137,15 @@ class RotateY:
 
 
 @dataclass
+class Group:
+    """A list of child objects treated as one (the reference's HittableList
+    used compositionally, HittableList.cpp:26-42) — e.g. a multi-part
+    constant-medium boundary."""
+    children: list = field(default_factory=list)
+    kind: str = "group"
+
+
+@dataclass
 class ConstantMedium:
     """Constant-density participating medium inside a convex boundary
     (reference: ConstantMedium.cpp:25-96). The boundary does not itself render;
@@ -147,7 +156,8 @@ class ConstantMedium:
     kind: str = "constant_medium"
 
 
-SceneObject = Sphere | Quad | Box | Translate | RotateY | ConstantMedium
+SceneObject = Sphere | Quad | Box | Translate | RotateY | Group \
+    | ConstantMedium
 
 
 # ---------------------------------------------------------------- camera
@@ -185,7 +195,8 @@ _TEXTURES = {"solid": SolidColor, "checker": Checker, "noise": Noise}
 _MATERIALS = {"lambertian": Lambertian, "metal": Metal, "dielectric": Dielectric,
               "diffuse_light": DiffuseLight, "isotropic": Isotropic}
 _OBJECTS = {"sphere": Sphere, "quad": Quad, "box": Box, "translate": Translate,
-            "rotate_y": RotateY, "constant_medium": ConstantMedium}
+            "rotate_y": RotateY, "group": Group,
+            "constant_medium": ConstantMedium}
 
 
 def _from_dict(d, registry):
@@ -200,6 +211,9 @@ def _from_dict(d, registry):
                 kwargs[k] = _from_dict(v, _MATERIALS)
             else:
                 kwargs[k] = _from_dict(v, _OBJECTS)
+        elif isinstance(v, list) and v and isinstance(v[0], dict) \
+                and "kind" in v[0]:
+            kwargs[k] = [_from_dict(c, _OBJECTS) for c in v]
     return cls(**kwargs)
 
 

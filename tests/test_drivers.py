@@ -156,7 +156,11 @@ def test_pallas_gate_reason_diagnostics():
     s = rt.builders.cornell_box()
     flat = rt.compile_scene(s)
     assert pallas_gate_reason(flat) is None
-    s2 = rt.builders.textured_spheres()
-    flat2 = rt.compile_scene(s2)
-    reason = pallas_gate_reason(flat2)
-    assert reason is not None and "noise" in reason.lower()
+    # textured_spheres (Perlin marble) is in-gate since hash noise
+    assert pallas_gate_reason(rt.compile_scene(
+        rt.builders.textured_spheres())) is None
+    nested = rt.Scene(objects=[rt.Sphere(
+        (0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
+            1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))])
+    reason = pallas_gate_reason(rt.compile_scene(nested))
+    assert reason is not None and "checker" in reason.lower()
