@@ -126,6 +126,130 @@ def test_radius_gradient_finite():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def _pixel_grad_scene():
+    """Camera-rendered scene exercising every material family."""
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+    cam = rt.CameraConfig(aspect_ratio=1.0, image_width=24,
+                          samples_per_pixel=4, max_depth=4, vfov=40,
+                          lookfrom=(0, 2, 9), lookat=(0, 1, 0))
+    scene = rt.Scene(objects=[
+        rt.Quad((-6, 0, -6), (12, 0, 0), (0, 0, 12),
+                rt.Lambertian(rt.SolidColor((0.6, 0.5, 0.4)))),
+        rt.Quad((-1.5, 5, -1.5), (3, 0, 0), (0, 0, 3),
+                rt.DiffuseLight(rt.SolidColor((6, 6, 6)))),
+        rt.Sphere((-1.6, 1, 0), 1.0,
+                  rt.Lambertian(rt.SolidColor((0.8, 0.2, 0.2)))),
+        rt.Sphere((1.6, 1, 0), 1.0, rt.Metal((0.9, 0.9, 0.9), 0.3)),
+        rt.Sphere((0, 1, 1.8), 0.8, rt.Dielectric(1.5)),
+    ], lights=[rt.Quad((-1.5, 5, -1.5), (3, 0, 0), (0, 0, 3),
+                       rt.Lambertian(rt.SolidColor((1, 1, 1))))],
+        camera=cam)
+    flat = compile_scene(scene)
+    camd = cam_mod.derive(cam)
+    w, h = cam_mod.image_size(cam)
+    from real_time_ray_tracing_engine_tpu.parallel.mesh import \
+        _tile_sample_render
+
+    def img_of(f2):
+        return _tile_sample_render(
+            f2, camd, jnp.uint32(3), width=w, height_local=h,
+            row0=jnp.asarray(0, jnp.int32), n_strata=2, spp_local=4,
+            sample0=jnp.asarray(0, jnp.int32), max_depth=4,
+            sky_gradient=False)
+
+    return flat, img_of
+
+
+def test_pixel_gradient_allclose_rates():
+    """BASELINE.json metric: per-PIXEL gradient allclose rate vs central
+    differences, for EVERY trainable field (albedo, emission, fuzz, IOR,
+    sphere center/radius). Forward-mode (jvp) gives all pixels' d/d(theta) in
+    one pass; common-random-numbers FD is the oracle. Measured rates
+    (BASELINE.md): 1.000 on all material params, 0.998 on geometry (the
+    residual is genuine visibility-edge discontinuity, SURVEY.md §7 hard
+    part 3)."""
+    flat, img_of = _pixel_grad_scene()
+
+    def rate(field, index, step=1e-3, atol=1e-3, rtol=0.05):
+        arr = getattr(flat, field)
+
+        def fn(v):
+            return img_of(flat.replace(**{field: arr.at[index].set(v)}))
+
+        v0 = arr[index]
+        _, gad = jax.jvp(fn, (v0,), (jnp.ones_like(v0),))
+        fd = (fn(v0 + step) - fn(v0 - step)) / (2 * step)
+        gad, fd = np.asarray(gad), np.asarray(fd)
+        assert np.abs(fd).max() > 0.1, (field, index, "no signal")
+        close = np.abs(gad - fd) <= atol + rtol * np.abs(fd)
+        return close.mean()
+
+    mt = np.asarray(flat.mat_type)
+    metal = int(np.nonzero(mt == 1)[0][0])
+    diel = int(np.nonzero(mt == 2)[0][0])
+    light = int(np.nonzero(mt == 3)[0][0])
+    lam2 = int(np.nonzero(mt == 0)[0][1])
+    lam_tex = int(np.asarray(flat.mat_tex)[lam2])
+    light_tex = int(np.asarray(flat.mat_tex)[light])
+
+    assert rate("tex_color", (lam_tex, 0)) >= 0.99       # albedo
+    assert rate("tex_color", (light_tex, 1)) >= 0.99     # emission
+    assert rate("mat_fuzz", (metal,)) >= 0.99
+    assert rate("mat_ior", (diel,)) >= 0.99
+    assert rate("sph_radius", (0,)) >= 0.97              # geometry: edges
+    assert rate("sph_center", (0, 1)) >= 0.97
+
+
+def test_fused_tex_grad_matches_kernel_fd():
+    """grad_tex kernel variant (ops.wavefront_pallas): in-kernel forward-mode
+    d<g, image>/d(tex_color) must match central differences of the kernel
+    itself. tex_color affects no discrete decision (pdfs, scatter choices and
+    masks are all tex-independent), so common-random-numbers FD of the kernel
+    is near-exact — this validates the fused backward at ~1e-3, far tighter
+    than any cross-estimator comparison. VERDICT round-1 item 1 follow-up."""
+    from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (
+        render_pass_pallas, supports_pallas_grad)
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+
+    s = rt.builders.cornell_box()
+    s.camera.image_width = 16
+    flat = compile_scene(s)
+    assert supports_pallas_grad(flat)
+    cam = cam_mod.derive(s.camera)
+    w, h = cam_mod.image_size(s.camera)
+    seed = jnp.asarray(5, jnp.uint32)
+    kw = dict(width=w, height=h, n_strata=2, max_depth=3, n_samples=4,
+              interpret=True)
+    g = jnp.asarray(
+        np.random.default_rng(1).normal(size=(h, w, 3)), jnp.float32)
+
+    img, dg = render_pass_pallas(flat, cam, seed, 0, cotangent=g, **kw)
+    img0 = render_pass_pallas(flat, cam, seed, 0, **kw)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img0), atol=1e-6)
+
+    tc = np.asarray(flat.tex_color)
+    eps = 1e-3
+    checked = 0
+    for t in range(tc.shape[0]):
+        for c in (0,):
+            if abs(float(np.asarray(dg)[t, c])) < 1e-4:
+                continue
+            p, m = tc.copy(), tc.copy()
+            p[t, c] += eps
+            m[t, c] -= eps
+            d = (np.asarray(render_pass_pallas(
+                     flat.replace(tex_color=jnp.asarray(p)), cam, seed, 0,
+                     **kw))
+                 - np.asarray(render_pass_pallas(
+                     flat.replace(tex_color=jnp.asarray(m)), cam, seed, 0,
+                     **kw)))
+            fd = float((d * np.asarray(g)).sum() / (2 * eps))
+            np.testing.assert_allclose(float(np.asarray(dg)[t, c]), fd,
+                                       rtol=5e-3, err_msg=f"tex {t} ch {c}")
+            checked += 1
+    assert checked >= 2
+
+
 def test_kernel_render_vjp_matches_jax_engine():
     """make_train_step(engine='pallas'): the fused-kernel forward must yield
     the jax-engine loss (fp32 kernel-vs-oracle tolerance) and bit-identical
