@@ -11,6 +11,12 @@ BENCH_BASELINE.json. The default engine is the fused Pallas wavefront
 megakernel (ops/wavefront_pallas.py); set BENCH_ENGINE=jax to time the
 pure-JAX path instead.
 
+BENCH_MODE=fwd_bwd measures the BASELINE.json north-star workload instead:
+differentiable render at 1080p, 64 spp, depth 50 — one full
+loss->gradient step (fused Pallas forward + fused in-kernel tex_color
+backward via parallel.train.make_kernel_render). Paths are counted once, so
+the value is directly comparable to the forward-only number.
+
 Timing note: values are fetched to host (np.asarray), not just
 block_until_ready'd — under the axon TPU tunnel a faulted kernel can report
 ready without data, which silently times nothing.
@@ -35,6 +41,8 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", "16"))
     depth = int(os.environ.get("BENCH_DEPTH", "50"))
     engine = os.environ.get("BENCH_ENGINE", "auto")
+    if os.environ.get("BENCH_MODE") == "fwd_bwd":
+        return bench_fwd_bwd(depth)
 
     scene = rt.builders.cornell_box()
     scene.camera.image_width = width
@@ -78,6 +86,63 @@ def main():
 
     print(json.dumps({
         "metric": f"cornell_{w}x{h}_spp{spp}_d{depth}_paths_throughput_{eng}",
+        "value": round(mpaths_s, 4),
+        "unit": "Mpaths/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+def bench_fwd_bwd(depth=50):
+    """North-star metric: fwd+bwd Mpaths/s at 1080p 64 spp (BASELINE.json)."""
+    import real_time_ray_tracing_engine_tpu as rt
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+    from real_time_ray_tracing_engine_tpu.parallel import train
+    from real_time_ray_tracing_engine_tpu.parallel.mesh import \
+        make_render_mesh
+    from real_time_ray_tracing_engine_tpu.scene.compile import compile_scene
+
+    w, h = 1920, 1080
+    n_strata = 8                        # 64 spp
+    spp = n_strata * n_strata
+    scene = rt.builders.cornell_box()
+    scene.camera.image_width = w
+    scene.camera.aspect_ratio = w / h
+    flat = compile_scene(scene)
+    cam = cam_mod.derive(scene.camera)
+    mesh = make_render_mesh()
+    render = train.make_kernel_render(
+        flat, mesh=mesh, width=w, height=h, n_strata=n_strata,
+        max_depth=depth)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    @jax.jit
+    def loss_grad(params, seed_f):
+        def loss(p):
+            img = render(p, cam, seed_f)
+            return jnp.mean((img - target) ** 2)
+        return jax.value_and_grad(loss)(params)
+
+    params = {"tex_color": flat.tex_color}
+    l, g = loss_grad(params, jnp.asarray(0.0))
+    assert np.isfinite(np.asarray(l)) and \
+        np.isfinite(np.asarray(g["tex_color"])).all()
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        l, g = loss_grad(params, jnp.asarray(float(i + 1)))
+    np.asarray(l), np.asarray(g["tex_color"])
+    dt = (time.perf_counter() - t0) / reps
+
+    mpaths_s = w * h * spp / dt / 1e6
+    vs = 1.0
+    if os.path.exists("BENCH_BASELINE.json"):
+        with open("BENCH_BASELINE.json") as f:
+            base = json.load(f).get("value", 0.0)
+        if base:
+            vs = mpaths_s / base
+    print(json.dumps({
+        "metric": f"cornell_{w}x{h}_spp{spp}_d{depth}_fwd_bwd_throughput",
         "value": round(mpaths_s, 4),
         "unit": "Mpaths/s",
         "vs_baseline": round(vs, 4),
