@@ -206,14 +206,20 @@ def pallas_gate_reason(flat: FlatScene) -> str | None:
     if flat.n_lights > MAX_LIGHTS:
         return (f"{flat.n_lights} MIS lights exceeds the kernel bound "
                 f"MAX_LIGHTS={MAX_LIGHTS}")
-    tex_type = np.asarray(flat.tex_type)
     # noise textures run in-kernel since the hash-noise redesign
-    # (utils/perlin.py); only non-solid CHECKER CHILDREN still gate
-    for name, child in (("even", np.asarray(flat.tex_child_even)),
-                        ("odd", np.asarray(flat.tex_child_odd))):
-        if (tex_type[child][tex_type == TEX_CHECKER] != TEX_SOLID).any():
-            return (f"checker texture with a non-solid {name} child "
-                    "(nested checkers run on the jax engine)")
+    # (utils/perlin.py). The unrolled kernel evaluates the full texture DAG
+    # by static recursion (arbitrarily nested checkers, noise children); the
+    # scan/BVH kernels read ONE resolved scalar row per prim, which only
+    # captures depth-1 checkers over solid children — deeper DAGs gate.
+    if not _use_unrolled(flat.sph_center.shape[0], flat.quad_corner.shape[0],
+                         flat.mat_type.shape[0], flat.tex_type.shape[0]):
+        tex_type = np.asarray(flat.tex_type)
+        for name, child in (("even", np.asarray(flat.tex_child_even)),
+                            ("odd", np.asarray(flat.tex_child_odd))):
+            if (tex_type[child][tex_type == TEX_CHECKER] != TEX_SOLID).any():
+                return (f"checker texture with a non-solid {name} child in a "
+                        "large scene (scan/BVH modes resolve one texture "
+                        "level; runs on the jax engine)")
     return None
 
 
@@ -385,7 +391,8 @@ def _pack_tables(flat: FlatScene):
 # ------------------------------------------------------------- the kernel
 def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  n_samples, sky_gradient, unroll_prims, n_clusters,
-                 grad_tex=False, bvh_mode=False, has_noise=False, MQ=6):
+                 grad_tex=False, bvh_mode=False, has_noise=False, MQ=6,
+                 tex_struct=None):
     """grad_tex=True builds the fused forward+backward variant: alongside the
     radiance image it accumulates d<g, radiance>/d(tex_color[t, c]) for every
     texture row by exact forward-mode differentiation. Each lane carries
@@ -750,50 +757,56 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         # ----------------------------- texture color at (point, tex index)
         def texture_color(tex, px, py, pz, turb):
             """Color planes; with grad_tex also the *effective* texture row
-            (checker lanes resolve to the parity-selected child row via texf
-            cols 11-12) so gradients route to the owning tex_color row.
-            Noise rows (texf col 13) evaluate hash-noise marble in-kernel
-            and carry no tex_color dependence (eff = -1)."""
+            so gradients route to the owning tex_color row.
+
+            The texture DAG structure (tex_struct: type/even/odd per row) is
+            a bake-time constant, so rows evaluate by STATIC recursion —
+            checker children may themselves be checkers or noise to any
+            depth (CheckerTexture.cpp:14-55 recursive textures), each level
+            selecting per lane by its own parity plane. Colors/scales stay
+            runtime SMEM reads (tex_color is trainable). Noise leaves
+            evaluate hash-noise marble in-kernel and carry no tex_color
+            dependence (eff = -1); shared subtrees memoize."""
+            cache = {}
+
+            def eval_row(t):
+                if t in cache:
+                    return cache[t]
+                ttype, ev, od = tex_struct[t]
+                if ttype == TEX_NOISE and turb is not None:
+                    marble = 0.5 * (1.0 + jnp.sin(
+                        texf_ref[3, t] * pz + 10.0 * turb))
+                    out = (marble, marble, marble, zero - 1.0)
+                elif ttype == TEX_CHECKER:
+                    inv = 1.0 / jnp.maximum(texf_ref[3, t], 1e-12)
+                    fx = jnp.floor(inv * px).astype(jnp.int32)
+                    fy = jnp.floor(inv * py).astype(jnp.int32)
+                    fz = jnp.floor(inv * pz).astype(jnp.int32)
+                    # parity via bit-and (int % is not a VPU op; two's
+                    # complement &1 gives the same answer for negatives)
+                    even = ((fx + fy + fz) & 1) == 0
+                    er, eg, eb, ee = eval_row(ev)
+                    orr, og, ob, oe = eval_row(od)
+                    out = (jnp.where(even, er, orr),
+                           jnp.where(even, eg, og),
+                           jnp.where(even, eb, ob),
+                           jnp.where(even, ee, oe))
+                else:           # solid (or noise in a noise-free build)
+                    out = (texf_ref[0, t] + zero, texf_ref[1, t] + zero,
+                           texf_ref[2, t] + zero, zero + float(t))
+                cache[t] = out
+                return out
+
             rr, gg, bb = zero, zero, zero
             eff = zero - 1.0
             for t in range(NT):
-                inv = 1.0 / jnp.maximum(texf_ref[3, t], 1e-12)
-                fx = jnp.floor(inv * px).astype(jnp.int32)
-                fy = jnp.floor(inv * py).astype(jnp.int32)
-                fz = jnp.floor(inv * pz).astype(jnp.int32)
-                # parity via bit-and (int % is not a VPU op; two's complement
-                # &1 gives the same odd/even answer for negatives)
-                even = ((fx + fy + fz) & 1) == 0
-                is_chk = texf_ref[4, t] > 0.5
-                cr = jnp.where(is_chk,
-                               jnp.where(even, texf_ref[5, t], texf_ref[8, t]),
-                               texf_ref[0, t])
-                cg = jnp.where(is_chk,
-                               jnp.where(even, texf_ref[6, t], texf_ref[9, t]),
-                               texf_ref[1, t])
-                cb = jnp.where(is_chk,
-                               jnp.where(even, texf_ref[7, t],
-                                         texf_ref[10, t]),
-                               texf_ref[2, t])
-                if turb is not None:
-                    marble = 0.5 * (1.0 + jnp.sin(
-                        texf_ref[3, t] * pz + 10.0 * turb))
-                    noi = texf_ref[13, t] > 0.5
-                    cr = jnp.where(noi, marble, cr)
-                    cg = jnp.where(noi, marble, cg)
-                    cb = jnp.where(noi, marble, cb)
+                cr, cg, cb, ce = eval_row(t)
                 m = tex == t
                 rr = jnp.where(m, cr, rr)
                 gg = jnp.where(m, cg, gg)
                 bb = jnp.where(m, cb, bb)
                 if grad_tex:
-                    row = jnp.where(is_chk,
-                                    jnp.where(even, texf_ref[11, t],
-                                              texf_ref[12, t]),
-                                    float(t))
-                    if turb is not None:
-                        row = jnp.where(texf_ref[13, t] > 0.5, -1.0, row)
-                    eff = jnp.where(m, row, eff)
+                    eff = jnp.where(m, ce, eff)
             return rr, gg, bb, eff
 
         # ----------------------------- light pdf / sample (unrolled over L)

@@ -176,6 +176,17 @@ def _walk(obj, R, t, tab: _Tables, out_spheres, out_quads):
         raise TypeError(f"unknown scene object {obj!r}")
 
 
+def _checker_depth(tex_rows) -> int:
+    """Longest checker chain in the texture DAG (depth 0 = no checkers).
+    Children always precede parents in the interned table (add_texture
+    interns children first), so one forward pass suffices."""
+    depth = [0] * len(tex_rows)
+    for i, t in enumerate(tex_rows):
+        if t["type"] == TEX_CHECKER:
+            depth[i] = 1 + max(depth[t["even"]], depth[t["odd"]])
+    return max(depth, default=0)
+
+
 def _f32(x):
     return jnp.asarray(np.asarray(x, np.float32))
 
@@ -308,6 +319,7 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
         n_mediums=len(med),
         use_bvh=False,
         has_noise=any(t["type"] == TEX_NOISE for t in tab.tex_rows),
+        checker_depth=_checker_depth(tab.tex_rows),
     )
     if use_bvh:
         from ..ops.bvh import build_bvh

@@ -99,6 +99,11 @@ class FlatScene:
     # fold the dead branch, and it dominates the whole integrator's HBM
     # traffic (measured 189 GB -> 7 GB per depth-8 600px Cornell pass).
     has_noise: bool = flax.struct.field(pytree_node=False, default=True)
+    # Max checker-nesting depth in the texture DAG (CheckerTexture.cpp:14-55
+    # allows recursive even/odd children). Static so texture_value can
+    # resolve chains with a fixed unrolled loop: depth 1 = plain checkers,
+    # 0 = none.
+    checker_depth: int = flax.struct.field(pytree_node=False, default=1)
 
     @property
     def n_prims(self) -> int:
