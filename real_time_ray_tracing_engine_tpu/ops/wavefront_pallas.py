@@ -1408,7 +1408,9 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         max_depth=max_depth, n_samples=n_samples, sky_gradient=sky_gradient,
         unroll_prims=unroll, n_clusters=n_clusters, grad_tex=grad_tex,
         bvh_mode=bvh_mode, has_noise=flat.has_noise,
-        MQ=int(flat.med_quad_corner.shape[1]))
+        MQ=int(flat.med_quad_corner.shape[1]),
+        tex_struct=(flat.tex_struct[:NT_k] if flat.tex_struct
+                    else ((TEX_SOLID, 0, 0),) * NT_k))
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)

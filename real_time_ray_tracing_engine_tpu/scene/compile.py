@@ -320,6 +320,8 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
         use_bvh=False,
         has_noise=any(t["type"] == TEX_NOISE for t in tab.tex_rows),
         checker_depth=_checker_depth(tab.tex_rows),
+        tex_struct=tuple((int(t["type"]), int(t["even"]), int(t["odd"]))
+                         for t in tab.tex_rows),
     )
     if use_bvh:
         from ..ops.bvh import build_bvh

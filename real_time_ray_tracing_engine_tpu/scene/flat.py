@@ -104,6 +104,12 @@ class FlatScene:
     # resolve chains with a fixed unrolled loop: depth 1 = plain checkers,
     # 0 = none.
     checker_depth: int = flax.struct.field(pytree_node=False, default=1)
+    # Texture DAG structure as a hashable compile-time constant: one
+    # (type, even_child, odd_child) int triple per texture row. The Pallas
+    # unrolled kernel evaluates the DAG by static recursion over this
+    # (checker children may be checkers/noise to any depth,
+    # CheckerTexture.cpp:14-55); only colors/scales stay runtime SMEM reads.
+    tex_struct: tuple = flax.struct.field(pytree_node=False, default=())
 
     @property
     def n_prims(self) -> int:

@@ -159,8 +159,16 @@ def test_pallas_gate_reason_diagnostics():
     # textured_spheres (Perlin marble) is in-gate since hash noise
     assert pallas_gate_reason(rt.compile_scene(
         rt.builders.textured_spheres())) is None
+    # nested checker / noise-child DAGs are in-gate on the unrolled kernel
     nested = rt.Scene(objects=[rt.Sphere(
         (0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
             1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))])
-    reason = pallas_gate_reason(rt.compile_scene(nested))
+    assert pallas_gate_reason(rt.compile_scene(nested)) is None
+    # ... but scan/BVH-mode scenes resolve one texture level, so a deep
+    # DAG in a large scene still gates (with a checker diagnostic)
+    big = rt.Scene(objects=[rt.Sphere(
+        (i * 3.0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
+            1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))
+        for i in range(80)])
+    reason = pallas_gate_reason(rt.compile_scene(big))
     assert reason is not None and "checker" in reason.lower()

@@ -160,11 +160,39 @@ def test_supports_gate():
     marble = rt.Scene(objects=[
         rt.Sphere((0, 0, 0), 1.0, rt.Lambertian(rt.Noise(4.0)))])
     assert supports_pallas(compile_scene(marble))
-    # checker with a non-solid child is still outside
+    # checker with non-solid children is in-gate on the unrolled kernel
+    # (static texture-DAG recursion); only large scan/BVH scenes gate
     nested = rt.Scene(objects=[rt.Sphere(
         (0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
             1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))])
-    assert not supports_pallas(compile_scene(nested))
+    assert supports_pallas(compile_scene(nested))
+    big_nested = rt.Scene(objects=[rt.Sphere(
+        (i * 3.0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
+            1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))
+        for i in range(80)])
+    assert not supports_pallas(compile_scene(big_nested))
+
+
+def test_nested_checker_matches_oracle():
+    """Texture-DAG recursion (VERDICT round-1 item 9 / ROADMAP parity): a
+    checker whose even child is a nested checker and odd child is Perlin
+    marble renders in-kernel and matches the pure-JAX oracle."""
+    inner = rt.Checker(0.31, rt.SolidColor((0.9, 0.1, 0.1)),
+                       rt.SolidColor((0.1, 0.1, 0.9)))
+    tex = rt.Checker(1.1, inner, rt.Noise(3.0))
+    cam = rt.CameraConfig(aspect_ratio=1.0, image_width=32,
+                          samples_per_pixel=4, max_depth=4,
+                          lookfrom=(0, 2, 6), lookat=(0, 1, 0),
+                          sky_gradient=True)
+    # floor at y=0.513: keeps hit points OFF checker cell boundaries, where
+    # fp order-of-operations noise between engines legitimately flips parity
+    scene = rt.Scene(objects=[
+        rt.Quad((-8, 0.513, -8), (16, 0, 0), (0, 0, 16), rt.Lambertian(tex)),
+        rt.Sphere((0, 1.5, 0), 1.0, rt.Lambertian(tex))], camera=cam)
+    flat = compile_scene(scene)
+    assert flat.checker_depth == 2 and supports_pallas(flat)
+    img_p, img_j = _compare(scene)
+    _assert_close(img_p, img_j)
 
 
 def test_complex_medium_boundary_matches_oracle():
@@ -213,10 +241,13 @@ def test_pick_engine_auto_on_cpu_is_jax():
     assert pick_engine(flat, "auto") == "jax"       # tests run on CPU
     assert pick_engine(flat, "pallas") == "pallas"
     with pytest.raises(ValueError):
-        nested = compile_scene(rt.Scene(objects=[rt.Sphere(
-            (0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
-                1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))]))
-        pick_engine(nested, "pallas")
+        # forcing engine=pallas on a gated scene (deep texture DAG in a
+        # scan-mode scene) is a hard error with the gate reason
+        big_nested = compile_scene(rt.Scene(objects=[rt.Sphere(
+            (i * 3.0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
+                1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))
+            for i in range(80)]))
+        pick_engine(big_nested, "pallas")
 
 
 def test_sharded_pallas_matches_sharded_jax():
