@@ -233,10 +233,16 @@ class ProgressiveRenderer:
     def converged(self) -> bool:
         return self.samples_taken >= self.n_strata * self.n_strata
 
-    def step(self) -> bool:
-        """Accumulate one stratum; returns True if work was done."""
+    def step(self, k: int = 1) -> bool:
+        """Accumulate k strata (clamped to what remains); True if work done.
+
+        k > 1 renders multiple samples in ONE fused pass — the adaptive
+        viewer raises it when the frame rate allows, the analogue of the
+        reference's FPS-keyed tile resizing (DynamicCamera.cpp:190-193)."""
         if self.converged:
             return False
+        k = max(1, min(k, self.n_strata * self.n_strata
+                       - self.samples_taken))
         if self.engine == "pallas":
             from ..ops.wavefront_pallas import render_pass_pallas
             import jax as _jax
@@ -245,9 +251,9 @@ class ProgressiveRenderer:
                     self.flat, self.cam, self.seed, self.samples_taken,
                     width=self.width, height=self.height,
                     n_strata=self.n_strata, max_depth=self.cfg.max_depth,
-                    n_samples=1, sky_gradient=self.cfg.sky_gradient,
+                    n_samples=k, sky_gradient=self.cfg.sky_gradient,
                     interpret=_jax.default_backend() == "cpu")
-                self.samples_taken += 1
+                self.samples_taken += k
                 return True
             except Exception as e:
                 self.engine = _fallback_to_jax(e)
@@ -255,10 +261,10 @@ class ProgressiveRenderer:
             self.flat, width=self.width, height=self.height,
             tile_rows=self.tile_rows, n_strata=self.n_strata,
             max_depth=self.cfg.max_depth,
-            sky_gradient=self.cfg.sky_gradient, n_samples=1)
+            sky_gradient=self.cfg.sky_gradient, n_samples=k)
         self.acc = self.acc + pass_fn(self.cam, self.seed,
                                       self.samples_taken)
-        self.samples_taken += 1
+        self.samples_taken += k
         return True
 
     def image(self) -> jnp.ndarray:

@@ -69,6 +69,30 @@ def frame_to_ansi(img_bytes: np.ndarray, cols: int, rows: int) -> str:
     return "\n".join(lines)
 
 
+class AdaptiveWork:
+    """FPS-keyed work controller: the analogue of the reference's adaptive
+    tile resizing (DynamicCamera.cpp:190-193, constants DynamicCamera.hpp:
+    32-34 — tile halves under 15 FPS, doubles above 30, bounded 16-64).
+    Here the per-frame work unit is samples-per-step: more strata per fused
+    pass when the frame rate has headroom (regeneration amortizes dead
+    lanes, so bigger steps are more efficient), fewer when interactivity
+    would suffer. Hold the interactive band by halving k under FPS_LO and
+    doubling above FPS_HI, clamped to [1, cap]."""
+    FPS_LO = 15.0
+    FPS_HI = 30.0
+
+    def __init__(self, cap: int = 16):
+        self.k = 1
+        self.cap = cap
+
+    def update(self, fps: float) -> int:
+        if fps < self.FPS_LO:
+            self.k = max(1, self.k // 2)
+        elif fps > self.FPS_HI:
+            self.k = min(self.cap, self.k * 2)
+        return self.k
+
+
 class _RawKeys:
     """Non-blocking single-key reads; no-op when stdin is not a TTY."""
 
@@ -111,10 +135,14 @@ class _RawKeys:
 
 def run_viewer(scene, *, use_bvh: bool = False, seed: int = 0,
                engine: str = "auto", max_frames: int | None = None,
-               checkpoint: str | None = None, out=sys.stdout) -> "ProgressiveRenderer":
+               checkpoint: str | None = None, adaptive: bool = True,
+               out=sys.stdout) -> "ProgressiveRenderer":
     """Progressive render loop with live terminal display and WASD input.
 
-    Returns the ProgressiveRenderer (accumulation state) at exit."""
+    adaptive=True scales samples-per-step from the measured FPS
+    (AdaptiveWork — the reference's tile-resizing analogue,
+    DynamicCamera.cpp:190-193). Returns the ProgressiveRenderer
+    (accumulation state) at exit."""
     prog = ProgressiveRenderer(scene, use_bvh=use_bvh, seed=seed,
                                engine=engine)
     if checkpoint and os.path.exists(checkpoint):
@@ -126,14 +154,17 @@ def run_viewer(scene, *, use_bvh: bool = False, seed: int = 0,
     frames = 0
     t_frame = time.time()
     fps = 0.0
+    ctrl = AdaptiveWork()
     try:
         with _RawKeys() as keys:
             while True:
-                did = prog.step()
+                did = prog.step(ctrl.k if adaptive else 1)
                 frames += 1
                 now = time.time()
                 fps = 0.8 * fps + 0.2 / max(now - t_frame, 1e-9)
                 t_frame = now
+                if adaptive and frames > 1:
+                    ctrl.update(fps)
 
                 img = np.asarray(to_bytes(prog.image()))
                 out.write("\x1b[H")           # cursor home

@@ -211,11 +211,17 @@ def medium_scatter(scene: FlatScene, org, dr, tm, t_surf, u_med,
     Returns (t_med (N,), mat (N,), valid (N,)).
     """
     M = scene.med_neg_inv_density.shape[0]
+    MS = scene.med_sph_center.shape[1]
     raylen = jnp.sqrt(dot(dr, dr))                        # (N,)
 
-    # boundary crossing ts for every medium: sphere (2 roots) + 6 quads
-    s0, s1 = sphere_both_ts(scene.med_sph_center, scene.med_sph_radius,
-                            org, dr, tm)                   # (N, M) each
+    # boundary crossing ts for every medium: MS spheres (2 roots each) +
+    # MQ quads; the medium span is the first two crossings of the union
+    # (ConstantMedium.cpp:25-96 double-hit semantics)
+    s0, s1 = sphere_both_ts(scene.med_sph_center.reshape(-1, 3),
+                            scene.med_sph_radius.reshape(-1),
+                            org, dr, tm)                   # (N, M*MS) each
+    n = org.shape[0]
+    ts_s = jnp.stack([s0, s1], axis=2).reshape(n, M, 2 * MS)
     qc = scene.med_quad_corner.reshape(-1, 3)
     ts_q = quad_ts(qc, scene.med_quad_u.reshape(-1, 3),
                    scene.med_quad_v.reshape(-1, 3),
@@ -223,9 +229,9 @@ def medium_scatter(scene: FlatScene, org, dr, tm, t_surf, u_med,
                    scene.med_quad_d.reshape(-1),
                    scene.med_quad_w.reshape(-1, 3),
                    scene.med_quad_active.reshape(-1),
-                   org, dr, t_min=-BIG, t_max=BIG)         # (N, M*6)
-    ts_q = ts_q.reshape(org.shape[0], M, -1)
-    ts = jnp.concatenate([s0[..., None], s1[..., None], ts_q], axis=2)  # (N,M,8)
+                   org, dr, t_min=-BIG, t_max=BIG)         # (N, M*MQ)
+    ts_q = ts_q.reshape(n, M, -1)
+    ts = jnp.concatenate([ts_s, ts_q], axis=2)       # (N, M, 2*MS+MQ)
 
     entry = jnp.min(ts, axis=2)
     after = jnp.where(ts > entry[..., None] + 1e-4, ts, BIG)

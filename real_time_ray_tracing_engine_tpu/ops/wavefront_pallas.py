@@ -68,7 +68,10 @@ INV_4PI = 1.0 / (4.0 * math.pi)
 
 # ------------------------------------------------------------------ limits
 MAX_PRIMS_UNROLL = 64   # fully unrolled intersection loop bound
-MAX_PRIMS_SCAN = 4096   # fori_loop prim scan bound (bouncing-spheres class)
+# fori_loop prim scan bound. The REAL capacity gate is the measured SMEM
+# byte budget below (pallas_gate_reason computes the actual footprint); this
+# constant only caps the loop trip count at a sanity level.
+MAX_PRIMS_SCAN = 16384
 BVH_STACK = 64          # reference BVHNode.cpp:398 traversal stack depth
 # v5e scalar memory is 1 MiB per core (measured: "Used 1.10M of 1.00M smem"
 # on an 8000-prim scene); leave headroom for the stack scratch + control
@@ -94,28 +97,36 @@ def _smem_table_bytes(flat: FlatScene) -> int:
     M = flat.med_neg_inv_density.shape[0] if flat.n_mediums else 0
     B = flat.bvh_bbox_min.shape[0] if flat.use_bvh else 1
     MQ = flat.med_quad_corner.shape[1]
+    MS = flat.med_sph_center.shape[1]
     unroll = _use_unrolled(S, Q, NM, NT)
     # mirror the wrapper's table slimming: unrolled mode drops the resolved
     # per-prim rows; scan/bvh modes drop the mat/tex tables (the resolved
     # rows replace them) and Morton-pad the sphere tables
-    pad_s = S if (unroll or flat.use_bvh) else -(-S // CLUSTER) * CLUSTER
+    if unroll or flat.use_bvh:
+        pad_s, n_clu, n_grp = S, 1, 1
+    else:
+        two_level = S > 2 * CLUSTER * GROUP
+        quantum = CLUSTER * GROUP if two_level else CLUSTER
+        pad_s = -(-S // quantum) * quantum
+        n_clu = pad_s // CLUSTER
+        n_grp = pad_s // (CLUSTER * GROUP) if two_level else 1
     n_primmat = 1 if unroll else pad_s + Q + M
     n_mt = NM if unroll else 1
     n_tex = NT if unroll else 1
-    n_clu = 1 if (unroll or flat.use_bvh) else pad_s // CLUSTER
     return (t(8, pad_s) + t(18, Q) + t(1, P + M)
             + t(25, max(flat.n_lights, 1))
             + t(2, n_mt) * 2 + t(14, n_tex)
             + t(15, n_primmat)                  # resolved per-prim rows
-            + t(6, n_clu)                       # cluster boxes
-            + t(7 + 17 * MQ, max(M, 1))
-            + t(6, B) + t(4, B) + t(1, P)       # BVH nodes + leaf order
+            + t(6, n_clu) + t(6, n_grp)         # cluster + group boxes
+            + t(3 + 4 * MS + 17 * MQ, max(M, 1))
+            + t(6, B) + t(5, B) + t(1, P)       # BVH nodes + leaf order
             + 4 * (3 + 22))                     # iscal + fscal
 MAX_LIGHTS = 32
 MAX_MATS = 16           # unrolled masked-select material gather bound
 MAX_TEXS = 16
 MAX_MEDIUMS = 4         # unrolled constant-medium free-flight bound
 CLUSTER = 16            # prims per culling cluster in scan mode
+GROUP = 16              # clusters per second-level culling group
 # per-medium SMEM row width is 6 + 17*MQ + 1 where MQ = quads per boundary
 # (dynamic since arbitrary convex boundaries; see _pack_tables)
 
@@ -229,11 +240,13 @@ def supports_pallas(flat: FlatScene) -> bool:
 
 
 def pallas_grad_gate_reason(flat: FlatScene) -> str | None:
-    """Why tex_color gradients cannot run fused in-kernel (None = they can).
+    """Why scene-parameter gradients cannot run fused in-kernel (None = they
+    can).
 
-    The grad_tex kernel variant covers unrolled-mode scenes (Cornell class)
-    without constant mediums; everything else gets the pure-JAX replay
-    backward (parallel.train.make_kernel_render)."""
+    The grad kernel variants (tex_color weight planes + hard-parameter
+    tangent bundles, see _make_kernel) cover unrolled-mode scenes (Cornell
+    class), including constant mediums; scan/BVH scenes get the pure-JAX
+    replay backward (parallel.train.make_kernel_render)."""
     r = pallas_gate_reason(flat)
     if r is not None:
         return r
@@ -244,13 +257,58 @@ def pallas_grad_gate_reason(flat: FlatScene) -> str | None:
         return (f"{S + Q} prims / {flat.mat_type.shape[0]} materials / "
                 f"{flat.tex_type.shape[0]} textures exceeds the unrolled "
                 "kernel bounds (scan mode has no fused backward)")
-    if flat.n_mediums:
-        return "constant mediums present (no fused backward yet)"
     return None
 
 
 def supports_pallas_grad(flat: FlatScene) -> bool:
     return pallas_grad_gate_reason(flat) is None
+
+
+# trainable-field <-> hard-slot mapping shared with parallel/train.py
+HARD_SLOT_FIELDS = {"fuzz": "mat_fuzz", "ior": "mat_ior",
+                    "sphc": "sph_center", "sphr": "sph_radius"}
+
+
+def hard_param_slots(flat: FlatScene, fields=None) -> tuple:
+    """Static descriptors of the scalar "hard" trainable parameters (those
+    entering through scatter directions / intersection t rather than
+    multiplicative throughput): metal fuzz, dielectric IOR, active-sphere
+    centers/radii. Reads table VALUES — call at bake time, outside jit.
+
+    fields restricts to a set of FlatScene field names (train.py passes the
+    user's requested params so untrained families cost no tangent planes)."""
+    mt = np.asarray(flat.mat_type)
+    act = np.asarray(flat.sph_active).copy()
+    # light-list geometry compiles into INACTIVE sphere rows (excluded from
+    # world intersection, scene/compile.py) that still carry gradient through
+    # the MIS light pdf/sampling — their slots must exist too
+    S = act.shape[0]
+    for p in np.asarray(flat.light_prim)[:flat.n_lights]:
+        if p < S:
+            act[p] = True
+    slots = []
+    for m in range(mt.shape[0]):
+        if mt[m] == MAT_METAL and (fields is None or "mat_fuzz" in fields):
+            slots.append(("fuzz", m))
+        if mt[m] == MAT_DIELECTRIC and (fields is None
+                                        or "mat_ior" in fields):
+            slots.append(("ior", m))
+    for p in range(S):
+        if act[p]:
+            if fields is None or "sph_center" in fields:
+                slots += [("sphc", p, 0), ("sphc", p, 1), ("sphc", p, 2)]
+            if fields is None or "sph_radius" in fields:
+                slots.append(("sphr", p))
+    return tuple(slots)
+
+
+def light_sphere_sources(flat: FlatScene) -> tuple:
+    """Per MIS-light row: the source sphere's row index, or -1 for quad
+    lights — static metadata for the grad kernel's theta aliasing (light rows
+    bake COPIES of sphere geometry in _pack_tables). Bake time only."""
+    S = flat.sph_center.shape[0]
+    lp = np.asarray(flat.light_prim)[:max(flat.n_lights, 1)]
+    return tuple(int(p) if p < S else -1 for p in lp)
 
 
 def _use_unrolled(S, Q, NM, NT) -> bool:
@@ -264,14 +322,18 @@ def _cluster_spheres(sphf, primmat_s):
     culling (traced jnp; the permutation is data-dependent, which is fine —
     only shapes must be static).
 
-    Returns (sphf_sorted_padded, primmat_sorted_padded, cbox (K, 6)) or
-    (sphf, primmat_s, None) when the scene is too small to bother. Inactive
-    rows (padding, light-only geometry) sort to the end with empty boxes, so
-    their clusters always fail the slab test.
+    Returns (sphf_sorted_padded, primmat_sorted_padded, cbox (K, 6),
+    gbox (G, 6)) or (sphf, primmat_s, None, None) when the scene is too small
+    to bother. Inactive rows (padding, light-only geometry) sort to the end
+    with empty boxes, so their clusters always fail the slab test. gbox are
+    second-level boxes over GROUP consecutive Morton clusters (None when the
+    scene has too few clusters): the kernel culls GROUP*CLUSTER prims with
+    one slab test before testing per-cluster boxes — the flat analogue of a
+    2-level BVH descent, tuned for whole-tile any-lane culling.
     """
     S = sphf.shape[0]
     if S <= 2 * CLUSTER:
-        return sphf, primmat_s, None
+        return sphf, primmat_s, None, None
     c0, cd, r = sphf[:, 0:3], sphf[:, 3:6], sphf[:, 6:7]
     active = sphf[:, 7:8] > 0.5
     lo = jnp.minimum(c0, c0 + cd) - r          # motion-swept sphere bbox
@@ -286,7 +348,11 @@ def _cluster_spheres(sphf, primmat_s):
     perm = jnp.argsort(code)
     sphf, primmat_s = sphf[perm], primmat_s[perm]
     lo, hi, active = lo[perm], hi[perm], active[perm]
-    pad = (-S) % CLUSTER
+    # pad to a whole number of GROUPS when the scene is big enough for the
+    # two-level hierarchy (padding rows are inactive -> empty boxes)
+    two_level = S > 2 * CLUSTER * GROUP
+    quantum = CLUSTER * GROUP if two_level else CLUSTER
+    pad = (-S) % quantum
     if pad:
         sphf = jnp.pad(sphf, ((0, pad), (0, 0)))
         primmat_s = jnp.pad(primmat_s, ((0, pad), (0, 0)))
@@ -296,9 +362,16 @@ def _cluster_spheres(sphf, primmat_s):
     lo = jnp.where(active, lo, BIG)
     hi = jnp.where(active, hi, -BIG)
     k = sphf.shape[0] // CLUSTER
-    cbox = jnp.concatenate([lo.reshape(k, CLUSTER, 3).min(axis=1),
-                            hi.reshape(k, CLUSTER, 3).max(axis=1)], axis=1)
-    return sphf, primmat_s, cbox
+    lo_c = lo.reshape(k, CLUSTER, 3).min(axis=1)
+    hi_c = hi.reshape(k, CLUSTER, 3).max(axis=1)
+    cbox = jnp.concatenate([lo_c, hi_c], axis=1)
+    gbox = None
+    if two_level:
+        g = k // GROUP
+        gbox = jnp.concatenate([lo_c.reshape(g, GROUP, 3).min(axis=1),
+                                hi_c.reshape(g, GROUP, 3).max(axis=1)],
+                               axis=1)
+    return sphf, primmat_s, cbox, gbox
 
 
 def _pack_tables(flat: FlatScene):
@@ -368,22 +441,26 @@ def _pack_tables(flat: FlatScene):
     # (S+Q+M, 15)
 
     # constant-medium boundary rows (ConstantMedium.cpp:25-96): density,
-    # active, sphere boundary, 6 quad boundaries (each 17 cols: corner, u, v,
-    # normal, d, w, active), isotropic material index
+    # active, MS sphere boundaries (4 cols each: center, radius), MQ quad
+    # boundaries (each 17 cols: corner, u, v, normal, d, w, active),
+    # isotropic material index
     mq = flat.med_quad_corner.shape[1]
+    ms = flat.med_sph_center.shape[1]
     quad_cols = jnp.concatenate([
         flat.med_quad_corner, flat.med_quad_u, flat.med_quad_v,
         flat.med_quad_normal, flat.med_quad_d[..., None], flat.med_quad_w,
         flat.med_quad_active.astype(f32)[..., None],
     ], axis=2).reshape(flat.med_mat.shape[0], mq * 17)
+    sph_cols = jnp.concatenate([
+        flat.med_sph_center, flat.med_sph_radius[..., None],
+    ], axis=2).reshape(flat.med_mat.shape[0], ms * 4)
     medf = jnp.concatenate([
         flat.med_neg_inv_density[:, None],                     # 0
         flat.med_active.astype(f32)[:, None],                  # 1
-        flat.med_sph_center,                                   # 2-4
-        flat.med_sph_radius[:, None],                          # 5
-        quad_cols,                                             # 6..6+6*17
-        flat.med_mat.astype(f32)[:, None],                     # 6+17*MQ
-    ], axis=1)                                                 # (M, 7+17*MQ)
+        sph_cols,                                              # 2..2+4*MS
+        quad_cols,                                             # ..+17*MQ
+        flat.med_mat.astype(f32)[:, None],                     # 2+4*MS+17*MQ
+    ], axis=1)                                     # (M, 3+4*MS+17*MQ)
     return (sphf, quadf, prim_mat, lightf, mati, matf, texf, primmatf,
             medf)
 
@@ -391,33 +468,83 @@ def _pack_tables(flat: FlatScene):
 # ------------------------------------------------------------- the kernel
 def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  n_samples, sky_gradient, unroll_prims, n_clusters,
-                 grad_tex=False, bvh_mode=False, has_noise=False, MQ=6,
-                 tex_struct=None):
+                 n_groups=0, grad_tex=False, bvh_mode=False, has_noise=False,
+                 MQ=6, MS=1, tex_struct=None, hard_slots=(), light_src=(),
+                 want_tex=True):
     """grad_tex=True builds the fused forward+backward variant: alongside the
-    radiance image it accumulates d<g, radiance>/d(tex_color[t, c]) for every
-    texture row by exact forward-mode differentiation. Each lane carries
-    weight planes W[t][c] = d(throughput_c)/d(tex_color[t][c]) with the
-    product-rule recurrence W <- W*at*f + th*f*1[eff_row==t] at every scatter
-    (attenuation is channel-diagonal, so no cross-channel terms), and dots
-    them with the upstream cotangent g at every radiance event (miss
-    background, emission). This makes training run at kernel speed for the
-    dominant trainable family (albedo + emission + medium tint = tex_color)
-    instead of the ~1000x slower pure-JAX replay; the reference has no
-    analogue (no autodiff in C++/CUDA). Unrolled-prim scenes only."""
+    radiance image it accumulates d<g, radiance>/d(theta) for trainable scene
+    parameters by exact forward-mode differentiation, in two tiers:
+
+      - tex_color (albedo/emission/medium tint; want_tex=True): each lane
+        carries weight planes W[t][c] = d(throughput_c)/d(tex_color[t][c])
+        with the product-rule recurrence W <- W*at*f + th*f*1[eff_row==t] at
+        every scatter (attenuation is channel-diagonal, so no cross-channel
+        terms), dotted with the upstream cotangent g at every radiance event
+        (miss background, emission). ~0.4x a forward pass on top.
+      - "hard" scalar parameters (hard_slots: metal fuzz, dielectric IOR,
+        sphere centers/radii) enter through scatter DIRECTIONS and
+        intersection t(theta), so the cheap multiplicative recurrence does
+        not apply. Instead the whole per-bounce continuous physics is
+        factored into physics(theta, ray-state) and `jax.linearize`d once per
+        bounce; each slot k then pushes its own tangent bundle
+        (d origin, d direction, d throughput — 9 planes) through the shared
+        linear map, accumulating d<g, radiance> at every radiance event.
+        This is the reparameterized/detached-sampling derivative — discrete
+        decisions (which prim won, Schlick reflect-vs-refract, light pick)
+        are comparisons with zero tangent, exactly matching the pure-JAX
+        replay backward's semantics (parallel/train.py).
+
+    hard_slots entries: ("fuzz", m) | ("ior", m) | ("sphc", p, ax) |
+    ("sphr", p). light_src[l] = source sphere index of MIS light row l (or
+    -1): light rows bake copies of sphere geometry (_pack_tables), so their
+    reads must alias the same theta scalars for gradients to flow through
+    light pdf/sampling, as they do in the replay.
+
+    This makes FULL-parameter training run at kernel speed instead of the
+    ~1000x slower pure-JAX replay; the reference has no analogue (no autodiff
+    in C++/CUDA). Unrolled-prim scenes only."""
     n_prims = S + Q
+    K = len(hard_slots)
     if grad_tex:
-        assert unroll_prims and M == 0, "grad kernel: unrolled scenes only"
+        assert unroll_prims, "grad kernel: unrolled scenes only"
+    n_wp = 3 * NT if (grad_tex and want_tex) else 0
+
+    # static map (table, row, col) -> theta slot index for the SMEM-read
+    # helpers below; sphere-light rows alias their source sphere's slots
+    theta_map = {}
+    for k, slot in enumerate(hard_slots):
+        if slot[0] == "fuzz":
+            theta_map[("matf", slot[1], 0)] = k
+        elif slot[0] == "ior":
+            theta_map[("matf", slot[1], 1)] = k
+        elif slot[0] == "sphc":
+            theta_map[("sph", slot[1], slot[2])] = k
+        elif slot[0] == "sphr":
+            theta_map[("sph", slot[1], 6)] = k
+        else:
+            raise ValueError(slot)
+    for l, si in enumerate(light_src):
+        if si is None or si < 0:
+            continue
+        for ax in range(3):
+            k = theta_map.get(("sph", si, ax))
+            if k is not None:
+                theta_map[("light", l, 1 + ax)] = k
+        k = theta_map.get(("sph", si, 6))
+        if k is not None:
+            theta_map[("light", l, 7)] = k
 
     def kernel(pix_ref, fi_ref, fj_ref, *rest):
         if grad_tex:
             (g_ref, iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref,
              lightf_ref, mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
-             medf_ref, nodef_ref, nodei_ref, bprims_ref, out_ref, dg_ref,
-             stack_ref) = rest
+             cgrp_ref, medf_ref, nodef_ref, nodei_ref, bprims_ref, out_ref,
+             dg_ref, stack_ref) = rest
         else:
             (iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref, lightf_ref,
-             mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref, medf_ref,
-             nodef_ref, nodei_ref, bprims_ref, out_ref, stack_ref) = rest
+             mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref, cgrp_ref,
+             medf_ref, nodef_ref, nodei_ref, bprims_ref, out_ref,
+             stack_ref) = rest
         pix = pix_ref[:]                                     # (R,128) int32
         seed = iscal_ref[0].astype(jnp.uint32)
         sample_start_f = iscal_ref[1].astype(jnp.float32)
@@ -450,18 +577,42 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         # Mosaic layout, which while_loop carries cannot relayout back into
         zero = i_f * 0.0
 
+        # trainable "hard" scalars, read ONCE from SMEM so the per-bounce
+        # physics can be jax.linearize'd with respect to them (grad path);
+        # the read helpers below route every aliased table read (sphere
+        # tables, material fuzz/ior columns, baked sphere-light rows) to the
+        # same traced scalar
+        theta = tuple(
+            matf_ref[0, s[1]] if s[0] == "fuzz" else
+            matf_ref[1, s[1]] if s[0] == "ior" else
+            sphf_ref[s[2], s[1]] if s[0] == "sphc" else
+            sphf_ref[6, s[1]]
+            for s in hard_slots)
+
+        def sph_read(th_, col, p):
+            k = theta_map.get(("sph", p, col))
+            return th_[k] if k is not None else sphf_ref[col, p]
+
+        def matf_read(th_, col, m):
+            k = theta_map.get(("matf", m, col))
+            return th_[k] if k is not None else matf_ref[col, m]
+
+        def light_read(th_, col, l):
+            k = theta_map.get(("light", l, col))
+            return th_[k] if k is not None else lightf_ref[col, l]
+
         # ----------------------------- closest hit over all prims (unrolled)
-        def closest_hit(ox, oy, oz, dx, dy, dz, tm):
+        def closest_hit(th_, ox, oy, oz, dx, dy, dz, tm):
             best_t = zero + BIG
             mat = jnp.zeros_like(pix)
             nx, ny, nz = zero, zero, zero                  # outward normal
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
             for p in range(S):
-                scx = sphf_ref[0, p] + tm * sphf_ref[3, p]
-                scy = sphf_ref[1, p] + tm * sphf_ref[4, p]
-                scz = sphf_ref[2, p] + tm * sphf_ref[5, p]
-                rad = sphf_ref[6, p]
+                scx = sph_read(th_, 0, p) + tm * sphf_ref[3, p]
+                scy = sph_read(th_, 1, p) + tm * sphf_ref[4, p]
+                scz = sph_read(th_, 2, p) + tm * sphf_ref[5, p]
+                rad = sph_read(th_, 6, p)
                 ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
                 h = _dot3(dx, dy, dz, ocx, ocy, ocz)
                 c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
@@ -618,13 +769,13 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 mdy = jnp.sum(jnp.where(alive, dy, 0.0))
                 mdz = jnp.sum(jnp.where(alive, dz, 0.0))
 
-                def leaf_body(p, c):
-                    u = bprims_ref[p]
-                    return jax.lax.cond(
-                        u < S,
-                        lambda a: sph_body(a[0], a[1]),
-                        lambda a: quad_body(a[0] - S, a[1]),
-                        (u, c))
+                # leaves are segregated spheres-first (ops.bvh
+                # _segregate_leaves) so each type runs a cond-free loop
+                def sph_leaf(i, c):
+                    return sph_body(bprims_ref[i], c)
+
+                def quad_leaf(i, c):
+                    return quad_body(bprims_ref[i] - S, c)
 
                 def t_body(carry):
                     sp, c = carry
@@ -657,8 +808,14 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 
                         def do_leaf(args):
                             sp, c = args
-                            return sp, jax.lax.fori_loop(
-                                left, left + right, leaf_body, c)
+                            nsph = nodei_ref[4, node]
+                            if S:
+                                c = jax.lax.fori_loop(
+                                    left, left + nsph, sph_leaf, c)
+                            if Q:
+                                c = jax.lax.fori_loop(
+                                    left + nsph, left + right, quad_leaf, c)
+                            return sp, c
 
                         def do_inner(args):
                             sp, c = args
@@ -691,14 +848,15 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 idz = 1.0 / jnp.where(jnp.abs(dz) < eps,
                                       jnp.where(dz < 0, -eps, eps), dz)
 
-                def cluster_body(k, cr):
-                    best_t = cr[0]
-                    t0x = (csph_ref[0, k] - ox) * idx
-                    t1x = (csph_ref[3, k] - ox) * idx
-                    t0y = (csph_ref[1, k] - oy) * idy
-                    t1y = (csph_ref[4, k] - oy) * idy
-                    t0z = (csph_ref[2, k] - oz) * idz
-                    t1z = (csph_ref[5, k] - oz) * idz
+                def box_any(ref, k, best_t):
+                    """True if ANY live lane's ray hits box k of table ref
+                    before its current best_t (whole-tile culling test)."""
+                    t0x = (ref[0, k] - ox) * idx
+                    t1x = (ref[3, k] - ox) * idx
+                    t0y = (ref[1, k] - oy) * idy
+                    t1y = (ref[4, k] - oy) * idy
+                    t0z = (ref[2, k] - oz) * idz
+                    t1z = (ref[5, k] - oz) * idz
                     tn = jnp.maximum(
                         jnp.maximum(jnp.minimum(t0x, t1x),
                                     jnp.minimum(t0y, t1y)),
@@ -708,15 +866,85 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                                     jnp.maximum(t0y, t1y)),
                         jnp.minimum(jnp.maximum(t0z, t1z), best_t))
                     want = alive & (tn <= tf)
-                    any_hit = jnp.sum(jnp.where(want, 1.0, 0.0)) > 0.0
+                    return jnp.sum(jnp.where(want, 1.0, 0.0)) > 0.0
+
+                def cluster_tests(k, cr):
+                    """CLUSTER sphere tests UNROLLED at static offsets from
+                    the scalar base k*CLUSTER (one loop iteration per
+                    cluster instead of one per prim — the per-iteration
+                    scalar index/branch overhead dominated the scan at
+                    >1000 prims), with the 15-column material gather done
+                    LAZILY once per cluster, only when some lane actually
+                    improved (best_t converges fast, so most slab-passing
+                    clusters improve nothing and skip the gather)."""
+                    best_t, nx, ny, nz, mats = cr
+                    base = k * CLUSTER
+                    jwin = zero - 1.0
+                    for j in range(CLUSTER):
+                        p = base + j
+                        scx = sphf_ref[0, p] + tm * sphf_ref[3, p]
+                        scy = sphf_ref[1, p] + tm * sphf_ref[4, p]
+                        scz = sphf_ref[2, p] + tm * sphf_ref[5, p]
+                        rad = sphf_ref[6, p]
+                        ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
+                        h = _dot3(dx, dy, dz, ocx, ocy, ocz)
+                        c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+                        disc = h * h - a * c
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        r0 = (h - sq) * inv_a
+                        r1 = (h + sq) * inv_a
+                        in0 = (r0 > T_MIN) & (r0 < best_t)
+                        in1 = (r1 > T_MIN) & (r1 < best_t)
+                        t_p = jnp.where(in0, r0, r1)
+                        take = ((disc > 0.0) & (in0 | in1)
+                                & (sphf_ref[7, p] > 0.5) & (rad > 0.0))
+                        inv_r = 1.0 / jnp.maximum(rad, 1e-12)
+                        best_t = jnp.where(take, t_p, best_t)
+                        nx = jnp.where(take, (ox + t_p * dx - scx) * inv_r,
+                                       nx)
+                        ny = jnp.where(take, (oy + t_p * dy - scy) * inv_r,
+                                       ny)
+                        nz = jnp.where(take, (oz + t_p * dz - scz) * inv_r,
+                                       nz)
+                        jwin = jnp.where(take, float(j) + zero, jwin)
+
+                    def gather(c):
+                        bt, gnx, gny, gnz, mats = c
+                        new = []
+                        for ci in range(15):
+                            v = mats[ci]
+                            for j in range(CLUSTER):
+                                v = jnp.where(jwin == float(j),
+                                              primmat_ref[ci, base + j], v)
+                            new.append(v)
+                        return bt, gnx, gny, gnz, tuple(new)
+
+                    improved = jnp.sum(jnp.where(jwin >= 0.0, 1.0, 0.0)) > 0.0
+                    return jax.lax.cond(improved, gather, lambda c: c,
+                                        (best_t, nx, ny, nz, mats))
+
+                def cluster_body(k, cr):
                     return jax.lax.cond(
-                        any_hit,
-                        lambda c: jax.lax.fori_loop(
-                            k * CLUSTER, (k + 1) * CLUSTER, sph_body, c),
+                        box_any(csph_ref, k, cr[0]),
+                        lambda c: cluster_tests(k, c),
                         lambda c: c,
                         cr)
 
-                cr = jax.lax.fori_loop(0, n_clusters, cluster_body, cr)
+                if n_groups:
+                    # two-level descent: one slab test culls GROUP*CLUSTER
+                    # prims at once (the flat form of a 2-level BVH)
+                    def group_body(gk, cr):
+                        return jax.lax.cond(
+                            box_any(cgrp_ref, gk, cr[0]),
+                            lambda c: jax.lax.fori_loop(
+                                gk * GROUP, (gk + 1) * GROUP,
+                                cluster_body, c),
+                            lambda c: c,
+                            cr)
+
+                    cr = jax.lax.fori_loop(0, n_groups, group_body, cr)
+                else:
+                    cr = jax.lax.fori_loop(0, n_clusters, cluster_body, cr)
             elif S:
                 cr = jax.lax.fori_loop(0, S, sph_body, cr)
             if Q and not bvh_mode:       # the BVH covers quads too
@@ -810,16 +1038,16 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             return rr, gg, bb, eff
 
         # ----------------------------- light pdf / sample (unrolled over L)
-        def light_pdf(ox, oy, oz, dx, dy, dz, tm):
+        def light_pdf(th_, ox, oy, oz, dx, dy, dz, tm):
             """Uniform-average solid-angle pdf (lights.light_pdf_value)."""
             total = zero
             for l in range(L):
                 is_s = lightf_ref[0, l] > 0.5
                 # sphere: hit test + cone solid angle (Sphere.cpp:145-158)
-                scx = lightf_ref[1, l] + tm * lightf_ref[4, l]
-                scy = lightf_ref[2, l] + tm * lightf_ref[5, l]
-                scz = lightf_ref[3, l] + tm * lightf_ref[6, l]
-                rad = lightf_ref[7, l]
+                scx = light_read(th_, 1, l) + tm * lightf_ref[4, l]
+                scy = light_read(th_, 2, l) + tm * lightf_ref[5, l]
+                scz = light_read(th_, 3, l) + tm * lightf_ref[6, l]
+                rad = light_read(th_, 7, l)
                 ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
                 a = _dot3(dx, dy, dz, dx, dy, dz)
                 h = _dot3(dx, dy, dz, ocx, ocy, ocz)
@@ -867,17 +1095,17 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 total = total + jnp.where(is_s, pdf_s, pdf_q)
             return total / max(L, 1)
 
-        def light_sample(ox, oy, oz, tm, u_sel, u1, u2):
+        def light_sample(th_, ox, oy, oz, tm, u_sel, u1, u2):
             """Direction toward a uniformly chosen light (lights.light_sample)."""
             sel = jnp.clip((u_sel * L).astype(jnp.int32), 0, max(L - 1, 0))
             gx, gy, gz = zero, zero, zero
             for l in range(L):
                 is_s = lightf_ref[0, l] > 0.5
                 # sphere: cone sample via ONB toward center (Sphere.cpp:160-188)
-                scx = lightf_ref[1, l] + tm * lightf_ref[4, l]
-                scy = lightf_ref[2, l] + tm * lightf_ref[5, l]
-                scz = lightf_ref[3, l] + tm * lightf_ref[6, l]
-                rad = lightf_ref[7, l]
+                scx = light_read(th_, 1, l) + tm * lightf_ref[4, l]
+                scy = light_read(th_, 2, l) + tm * lightf_ref[5, l]
+                scz = light_read(th_, 3, l) + tm * lightf_ref[6, l]
+                rad = light_read(th_, 7, l)
                 tox, toy, toz = scx - ox, scy - oy, scz - oz
                 dist2 = jnp.maximum(
                     _dot3(tox, toy, toz, tox, toy, toz), 1e-12)
@@ -916,18 +1144,22 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             a = _dot3(dx, dy, dz, dx, dy, dz)
             raylen = jnp.sqrt(a)
             for m in range(M):
-                scx, scy, scz = medf_ref[2, m], medf_ref[3, m], medf_ref[4, m]
-                rad = medf_ref[5, m]
-                ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
-                h = _dot3(dx, dy, dz, ocx, ocy, ocz)
-                c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
-                disc = h * h - a * c
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                ok_s = (disc > 0.0) & (rad > 0.0)
-                ts = [jnp.where(ok_s, (h - sq) / a, BIG),
-                      jnp.where(ok_s, (h + sq) / a, BIG)]
+                ts = []
+                for js in range(MS):
+                    bs = 2 + 4 * js
+                    scx, scy, scz = medf_ref[bs, m], medf_ref[bs + 1, m], \
+                        medf_ref[bs + 2, m]
+                    rad = medf_ref[bs + 3, m]
+                    ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
+                    h = _dot3(dx, dy, dz, ocx, ocy, ocz)
+                    c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+                    disc = h * h - a * c
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    ok_s = (disc > 0.0) & (rad > 0.0)
+                    ts += [jnp.where(ok_s, (h - sq) / a, BIG),
+                           jnp.where(ok_s, (h + sq) / a, BIG)]
                 for j in range(MQ):
-                    b = 6 + 17 * j
+                    b = 2 + 4 * MS + 17 * j
                     qnx, qny, qnz = medf_ref[b + 9, m], medf_ref[b + 10, m], \
                         medf_ref[b + 11, m]
                     denom = _dot3(dx, dy, dz, qnx, qny, qnz)
@@ -1014,8 +1246,10 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             (ox, oy, oz, dx, dy, dz, thx, thy, thz,
              rx, ry, rz, alive_f, b_f, s_f, tm, _work) = st[:17]
             if grad_tex:
-                Wp = list(st[17:17 + 3 * NT])      # d th_c / d tex[t, c]
-                Gp = list(st[17 + 3 * NT:])        # accumulated cotangents
+                Wp = list(st[17:17 + n_wp])        # d th_c / d tex[t, c]
+                Gp = list(st[17 + n_wp:17 + 2 * n_wp])  # tex cotangents
+                Dst = list(st[17 + 2 * n_wp:17 + 2 * n_wp + 9 * K])
+                dG = list(st[17 + 2 * n_wp + 9 * K:])   # hard cotangents
 
             # --- regenerate dead lanes that still have samples left
             regen = (alive_f < 0.5) & (s_f + 1.0 < n_samples)
@@ -1035,223 +1269,284 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             b_f = jnp.where(regen, 0.0, b_f)
             alive = (alive_f > 0.5) | regen
             if grad_tex:
-                # a fresh path starts with throughput 1 (no tex dependence)
+                # a fresh path starts with throughput 1 (no param dependence)
                 Wp = [jnp.where(regen, 0.0, w) for w in Wp]
+                Dst = [jnp.where(regen, 0.0, v) for v in Dst]
 
             k1 = _f2u(s_abs_f)
             u = _draws(k0, k1, k2,
                        jnp.uint32(0x4000000) + _f2u(b_f), N_DRAWS)
+            u_med = _draws(k0, k1, k2,
+                           jnp.uint32(1_000_000) + _f2u(b_f), M) if M else ()
 
-            if unroll_prims:
-                (hit, best_t, px, py, pz, nx, ny, nz, front,
-                 mat) = closest_hit(ox, oy, oz, dx, dy, dz, tm)
-            else:
-                (hit, best_t, px, py, pz, nx, ny, nz, front,
-                 mats) = closest_hit_scan(ox, oy, oz, dx, dy, dz, tm, alive)
-
-            # constant mediums preempt the surface hit (same draw stream as
-            # ops.integrator: tag 1_000_000 + bounce, one uniform per medium)
-            if M:
-                u_med = _draws(k0, k1, k2,
-                               jnp.uint32(1_000_000) + _f2u(b_f), M)
-                t_surf = jnp.where(hit, best_t, BIG)
-                t_med, med_row = medium_free_flight(
-                    ox, oy, oz, dx, dy, dz, tm, t_surf, u_med)
-                med_on = t_med < BIG * 0.5
-                hit = hit | med_on
-                px = jnp.where(med_on, ox + t_med * dx, px)
-                py = jnp.where(med_on, oy + t_med * dy, py)
-                pz = jnp.where(med_on, oz + t_med * dz, pz)
-                nx = jnp.where(med_on, 1.0, nx)   # arbitrary normal,
-                ny = jnp.where(med_on, 0.0, ny)   # front face (isotropic
-                nz = jnp.where(med_on, 0.0, nz)   # phase ignores it)
-                front = med_on | front
+            def physics(th_, ox, oy, oz, dx, dy, dz, thx, thy, thz):
+                """The whole continuous per-bounce computation — closest hit
+                through scatter/MIS to the ray-state update — as a pure
+                function of the hard-parameter scalars th_ and the
+                differentiable ray state, so the grad path can
+                jax.linearize it (see _make_kernel docstring). Discrete
+                context (alive mask, RNG draws, ray time) is closed over:
+                its tangents are zero by detached-sampling semantics."""
                 if unroll_prims:
-                    for m in range(M):
-                        sel = med_on & (med_row == float(m))
-                        mat = jnp.where(
-                            sel,
-                            medf_ref[6 + 17 * MQ, m].astype(jnp.int32),
-                            mat)
+                    (hit, best_t, px, py, pz, nx, ny, nz, front,
+                     mat) = closest_hit(th_, ox, oy, oz, dx, dy, dz, tm)
                 else:
-                    for m in range(M):
-                        sel = med_on & (med_row == float(m))
-                        mats = tuple(
-                            jnp.where(sel, primmat_ref[c, S + Q + m],
-                                      mats[c])
-                            for c in range(15))
+                    (hit, best_t, px, py, pz, nx, ny, nz, front,
+                     mats) = closest_hit_scan(ox, oy, oz, dx, dy, dz, tm,
+                                              alive)
 
-            # hash-noise turbulence at the hit point, shared by every noise
-            # texture row this bounce (the marble phase is the only per-row
-            # term; NoiseTexture.cpp:8-33). Static-gated: noise-free scenes
-            # trace no turbulence ops at all.
-            turb = _turbulence3(px, py, pz, pseed) if has_noise else None
+                # constant mediums preempt the surface hit (same draw stream
+                # as ops.integrator: tag 1_000_000 + bounce, one per medium)
+                if M:
+                    t_surf = jnp.where(hit, best_t, BIG)
+                    t_med, med_row = medium_free_flight(
+                        ox, oy, oz, dx, dy, dz, tm, t_surf, u_med)
+                    med_on = t_med < BIG * 0.5
+                    hit = hit | med_on
+                    px = jnp.where(med_on, ox + t_med * dx, px)
+                    py = jnp.where(med_on, oy + t_med * dy, py)
+                    pz = jnp.where(med_on, oz + t_med * dz, pz)
+                    nx = jnp.where(med_on, 1.0, nx)   # arbitrary normal,
+                    ny = jnp.where(med_on, 0.0, ny)   # front face (isotropic
+                    nz = jnp.where(med_on, 0.0, nz)   # phase ignores it)
+                    front = med_on | front
+                    if unroll_prims:
+                        for m in range(M):
+                            sel = med_on & (med_row == float(m))
+                            mat = jnp.where(
+                                sel,
+                                medf_ref[2 + 4 * MS + 17 * MQ,
+                                         m].astype(jnp.int32),
+                                mat)
+                    else:
+                        for m in range(M):
+                            sel = med_on & (med_row == float(m))
+                            mats = tuple(
+                                jnp.where(sel, primmat_ref[c, S + Q + m],
+                                          mats[c])
+                                for c in range(15))
 
-            # 1. miss -> background (Camera.cpp:242-243)
-            if sky_gradient:
-                a_sky = 0.5 * (dy + 1.0)
-                sbx = (1.0 - a_sky) + a_sky * 0.5
-                sby = (1.0 - a_sky) + a_sky * 0.7
-                sbz = (1.0 - a_sky) + a_sky * 1.0
+                # hash-noise turbulence at the hit point, shared by every
+                # noise texture row this bounce (the marble phase is the only
+                # per-row term; NoiseTexture.cpp:8-33). Static-gated:
+                # noise-free scenes trace no turbulence ops at all. Inside
+                # physics so geometry tangents flow through marble shading.
+                turb = _turbulence3(px, py, pz, pseed) if has_noise else None
+
+                # 1. miss -> background (Camera.cpp:242-243)
+                if sky_gradient:
+                    a_sky = 0.5 * (dy + 1.0)
+                    sbx = (1.0 - a_sky) + a_sky * 0.5
+                    sby = (1.0 - a_sky) + a_sky * 0.7
+                    sbz = (1.0 - a_sky) + a_sky * 1.0
+                else:
+                    sbx, sby, sbz = bgx + zero, bgy + zero, bgz + zero
+                miss = alive & ~hit
+                drx = jnp.where(miss, thx * sbx, 0.0)
+                dry = jnp.where(miss, thy * sby, 0.0)
+                drz = jnp.where(miss, thz * sbz, 0.0)
+
+                if unroll_prims:
+                    # gather material row (masked-select over NM rows)
+                    mtype = jnp.zeros_like(mat)
+                    mtex = jnp.zeros_like(mat)
+                    fuzz = zero
+                    ior = zero + 1.0
+                    for m in range(NM):
+                        sel = mat == m
+                        mtype = jnp.where(sel, mati_ref[0, m], mtype)
+                        mtex = jnp.where(sel, mati_ref[1, m], mtex)
+                        fuzz = jnp.where(sel, matf_read(th_, 0, m), fuzz)
+                        ior = jnp.where(sel, matf_read(th_, 1, m), ior)
+                    tr, tg, tb, eff_tex = texture_color(mtex, px, py, pz,
+                                                        turb)
+                    is_light = mtype == MAT_DIFFUSE_LIGHT
+                    is_metal = mtype == MAT_METAL
+                    is_diel = mtype == MAT_DIELECTRIC
+                    is_iso = mtype == MAT_ISOTROPIC
+                else:
+                    mtype_f, fuzz, ior = mats[0], mats[1], mats[2]
+                    ior = jnp.where(ior == 0.0, 1.0, ior)  # padded rows
+                    tr, tg, tb = tex_eval_planes(*mats[3:14], mats[14],
+                                                 px, py, pz, turb)
+                    eff_tex = zero - 1.0
+                    is_light = mtype_f == float(MAT_DIFFUSE_LIGHT)
+                    is_metal = mtype_f == float(MAT_METAL)
+                    is_diel = mtype_f == float(MAT_DIELECTRIC)
+                    is_iso = mtype_f == float(MAT_ISOTROPIC)
+
+                # 2. emitted (front faces only, DiffuseLight.cpp:12-23)
+                live_hit = alive & hit
+                emit_on = live_hit & is_light & front
+                drx = drx + jnp.where(emit_on, thx * tr, 0.0)
+                dry = dry + jnp.where(emit_on, thy * tg, 0.0)
+                drz = drz + jnp.where(emit_on, thz * tb, 0.0)
+
+                # 3-4. scatter (materials.scatter semantics)
+                # metal: mirror + fuzz jitter (MetalMaterial.cpp:10-62)
+                dvn = _dot3(dx, dy, dz, nx, ny, nz)
+                rfx = dx - 2.0 * dvn * nx
+                rfy = dy - 2.0 * dvn * ny
+                rfz = dz - 2.0 * dvn * nz
+                rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
+                # unit_vector_from_uv(u_fuzz1, u_fuzz2)
+                zj = 1.0 - 2.0 * u[D_FUZZ_U]
+                rj = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zj * zj))
+                pj = (2.0 * math.pi) * u[D_FUZZ_V]
+                mx = rfx + fuzz * rj * jnp.cos(pj)
+                my = rfy + fuzz * rj * jnp.sin(pj)
+                mz = rfz + fuzz * zj
+                mx, my, mz = _normalize3(mx, my, mz)
+                metal_ok = _dot3(mx, my, mz, nx, ny, nz) > 0.0
+
+                # dielectric (DielectricMaterial.cpp:11-86)
+                ri = jnp.where(front, 1.0 / ior, ior)
+                cos_t = jnp.minimum(-dvn, 1.0)
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+                cannot = ri * sin_t > 1.0
+                r0s = (1.0 - ri) / (1.0 + ri)
+                r0s = r0s * r0s
+                schlick = r0s + (1.0 - r0s) * (1.0 - cos_t) ** 5
+                do_refl = cannot | (schlick > u[D_REFL])
+                # refract (vecmath.refract)
+                rpx = ri * (dx + cos_t * nx)
+                rpy = ri * (dy + cos_t * ny)
+                rpz = ri * (dz + cos_t * nz)
+                rp2 = _dot3(rpx, rpy, rpz, rpx, rpy, rpz)
+                rpar = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - rp2), 1e-12))
+                gx_, gy_, gz_ = _normalize3(rpx + rpar * nx, rpy + rpar * ny,
+                                            rpz + rpar * nz)
+                ddx, ddy, ddz = _where3(do_refl, rfx, rfy, rfz,
+                                        gx_, gy_, gz_)
+
+                atx = jnp.where(is_diel, 1.0, tr)
+                aty = jnp.where(is_diel, 1.0, tg)
+                atz = jnp.where(is_diel, 1.0, tb)
+                scatters = ~is_light & ~(is_metal & ~metal_ok)
+                skip_pdf = is_metal | is_diel
+                skx, sky_, skz = _where3(is_metal, mx, my, mz, ddx, ddy, ddz)
+
+                # material pdf sample: cosine hemisphere / uniform sphere
+                (ux, uy, uz), (vx, vy, vz), (wx, wy, wz) = _onb_from_w(
+                    *_normalize3(nx, ny, nz))
+                phm = (2.0 * math.pi) * u[D_MAT_U]
+                sq2 = jnp.sqrt(jnp.maximum(u[D_MAT_V], 1e-12))
+                zc = jnp.sqrt(jnp.maximum(1e-12, 1.0 - u[D_MAT_V]))
+                ccx = jnp.cos(phm) * sq2
+                ccy = jnp.sin(phm) * sq2
+                cdx = ccx * ux + ccy * vx + zc * wx
+                cdy = ccx * uy + ccy * vy + zc * wy
+                cdz = ccx * uz + ccy * vz + zc * wz
+                cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+                # uniform sphere (isotropic) reuses the same two uniforms
+                zs = 1.0 - 2.0 * u[D_MAT_U]
+                rs = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zs * zs))
+                ps = (2.0 * math.pi) * u[D_MAT_V]
+                sdx = rs * jnp.cos(ps)
+                sdy = rs * jnp.sin(ps)
+                sdz = zs
+                mdx, mdy, mdz = _where3(is_iso, sdx, sdy, sdz, cdx, cdy, cdz)
+
+                if L > 0:
+                    ldx, ldy, ldz = light_sample(th_, px, py, pz, tm,
+                                                 u[D_LIGHT_SEL],
+                                                 u[D_LIGHT_U], u[D_LIGHT_V])
+                    pick = u[D_PICK] < 0.5
+                    gdx, gdy, gdz = _where3(pick, ldx, ldy, ldz,
+                                            mdx, mdy, mdz)
+                    cosv = jnp.maximum(
+                        0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
+                    mat_pdf = jnp.where(is_iso, INV_4PI, cosv)
+                    pdf_val = 0.5 * light_pdf(th_, px, py, pz, gdx, gdy, gdz,
+                                              tm) + 0.5 * mat_pdf
+                else:
+                    gdx, gdy, gdz = mdx, mdy, mdz
+                    cosv = jnp.maximum(
+                        0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
+                    pdf_val = jnp.where(is_iso, INV_4PI, cosv)
+
+                coss = jnp.maximum(
+                    0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
+                spdf = jnp.where(is_iso, INV_4PI, coss)
+                pdf_ok = pdf_val > 1e-8
+                mis = spdf / jnp.where(pdf_ok, pdf_val, 1.0)
+                factor = jnp.where(skip_pdf, 1.0, mis)
+                ndx, ndy, ndz = _where3(skip_pdf, skx, sky_, skz,
+                                        gdx, gdy, gdz)
+
+                n_thx = jnp.where(live_hit, thx * atx * factor, thx)
+                n_thy = jnp.where(live_hit, thy * aty * factor, thy)
+                n_thz = jnp.where(live_hit, thz * atz * factor, thz)
+                n_ox, n_oy, n_oz = _where3(live_hit, px, py, pz, ox, oy, oz)
+                n_dx, n_dy, n_dz = _where3(live_hit, ndx, ndy, ndz,
+                                           dx, dy, dz)
+                return dict(
+                    o=(n_ox, n_oy, n_oz), d=(n_dx, n_dy, n_dz),
+                    th=(n_thx, n_thy, n_thz), drad=(drx, dry, drz),
+                    miss=miss, live_hit=live_hit, emit_on=emit_on,
+                    scatters=scatters, skip_pdf=skip_pdf, pdf_ok=pdf_ok,
+                    at=(atx, aty, atz), factor=factor, tcol=(tr, tg, tb),
+                    eff_tex=eff_tex, is_diel=is_diel)
+
+            if K:
+                # linearize once, push one 9-plane tangent bundle per hard
+                # parameter through the shared linear map; theta unit
+                # tangents are literal 0/1 constants, so XLA folds the
+                # injection terms of every other slot out of each bundle
+                P_, jvp_fn = jax.linearize(
+                    physics, theta, ox, oy, oz, dx, dy, dz, thx, thy, thz)
+                one = jnp.ones((), jnp.float32)
+                nul = jnp.zeros((), jnp.float32)
+                for k in range(K):
+                    dth_in = tuple(one if i == k else nul for i in range(K))
+                    T_ = jvp_fn(dth_in, *Dst[9 * k:9 * k + 9])
+                    dG[k] = dG[k] + (cg_r * T_["drad"][0]
+                                     + cg_g * T_["drad"][1]
+                                     + cg_b * T_["drad"][2])
+                    Dst[9 * k:9 * k + 9] = [
+                        T_["o"][0], T_["o"][1], T_["o"][2],
+                        T_["d"][0], T_["d"][1], T_["d"][2],
+                        T_["th"][0], T_["th"][1], T_["th"][2]]
             else:
-                sbx, sby, sbz = bgx + zero, bgy + zero, bgz + zero
-            miss = alive & ~hit
-            rx = rx + jnp.where(miss, thx * sbx, 0.0)
-            ry = ry + jnp.where(miss, thy * sby, 0.0)
-            rz = rz + jnp.where(miss, thz * sbz, 0.0)
-            if grad_tex:
-                # radiance event through th only (background is constant)
-                sbc = (sbx, sby, sbz)
+                P_ = physics(theta, ox, oy, oz, dx, dy, dz, thx, thy, thz)
+
+            rx = rx + P_["drad"][0]
+            ry = ry + P_["drad"][1]
+            rz = rz + P_["drad"][2]
+            live_hit = P_["live_hit"]
+
+            if n_wp:
                 gc = (cg_r, cg_g, cg_b)
-                for t in range(NT):
-                    for c in range(3):
-                        Gp[3 * t + c] = Gp[3 * t + c] + jnp.where(
-                            miss, gc[c] * Wp[3 * t + c] * sbc[c], 0.0)
-
-            if unroll_prims:
-                # gather material row (masked-select over NM rows)
-                mtype = jnp.zeros_like(mat)
-                mtex = jnp.zeros_like(mat)
-                fuzz = zero
-                ior = zero + 1.0
-                for m in range(NM):
-                    sel = mat == m
-                    mtype = jnp.where(sel, mati_ref[0, m], mtype)
-                    mtex = jnp.where(sel, mati_ref[1, m], mtex)
-                    fuzz = jnp.where(sel, matf_ref[0, m], fuzz)
-                    ior = jnp.where(sel, matf_ref[1, m], ior)
-                tr, tg, tb, eff_tex = texture_color(mtex, px, py, pz, turb)
-                is_light = mtype == MAT_DIFFUSE_LIGHT
-                is_metal = mtype == MAT_METAL
-                is_diel = mtype == MAT_DIELECTRIC
-                is_iso = mtype == MAT_ISOTROPIC
-            else:
-                mtype_f, fuzz, ior = mats[0], mats[1], mats[2]
-                ior = jnp.where(ior == 0.0, 1.0, ior)  # padded rows
-                tr, tg, tb = tex_eval_planes(*mats[3:14], mats[14],
-                                             px, py, pz, turb)
-                is_light = mtype_f == float(MAT_DIFFUSE_LIGHT)
-                is_metal = mtype_f == float(MAT_METAL)
-                is_diel = mtype_f == float(MAT_DIELECTRIC)
-                is_iso = mtype_f == float(MAT_ISOTROPIC)
-
-            # 2. emitted (front faces only, DiffuseLightMaterial.cpp:12-23)
-            live_hit = alive & hit
-            emit_on = live_hit & is_light & front
-            rx = rx + jnp.where(emit_on, thx * tr, 0.0)
-            ry = ry + jnp.where(emit_on, thy * tg, 0.0)
-            rz = rz + jnp.where(emit_on, thz * tb, 0.0)
-            if grad_tex:
-                # radiance event th*tr: product rule — through th (W) and
-                # directly through the light's own texture row (eff_tex)
-                tc = (tr, tg, tb)
-                thc = (thx, thy, thz)
+                thc = (thx, thy, thz)          # pre-scatter throughput
+                miss = P_["miss"]
+                emit_on = P_["emit_on"]
+                tc = P_["tcol"]
+                atc = P_["at"]
+                eff_tex = P_["eff_tex"]
+                is_diel = P_["is_diel"]
+                factor = P_["factor"]
+                # miss radiance event: through th only (background const).
+                # Background color must be recomputed cheaply for the W dot:
+                if sky_gradient:
+                    a_sky = 0.5 * (dy + 1.0)
+                    sb = ((1.0 - a_sky) + a_sky * 0.5,
+                          (1.0 - a_sky) + a_sky * 0.7,
+                          (1.0 - a_sky) + a_sky * 1.0)
+                else:
+                    sb = (bgx + zero, bgy + zero, bgz + zero)
                 for t in range(NT):
                     ind = eff_tex == float(t)
                     for c in range(3):
                         Gp[3 * t + c] = Gp[3 * t + c] + jnp.where(
+                            miss, gc[c] * Wp[3 * t + c] * sb[c], 0.0
+                        ) + jnp.where(
                             emit_on,
                             gc[c] * (Wp[3 * t + c] * tc[c]
                                      + jnp.where(ind, thc[c], 0.0)),
                             0.0)
-
-            # 3-4. scatter (materials.scatter semantics)
-            # metal: mirror + fuzz jitter (MetalMaterial.cpp:10-62)
-            dvn = _dot3(dx, dy, dz, nx, ny, nz)
-            rfx = dx - 2.0 * dvn * nx
-            rfy = dy - 2.0 * dvn * ny
-            rfz = dz - 2.0 * dvn * nz
-            rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
-            # unit_vector_from_uv(u_fuzz1, u_fuzz2)
-            zj = 1.0 - 2.0 * u[D_FUZZ_U]
-            rj = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zj * zj))
-            pj = (2.0 * math.pi) * u[D_FUZZ_V]
-            mx = rfx + fuzz * rj * jnp.cos(pj)
-            my = rfy + fuzz * rj * jnp.sin(pj)
-            mz = rfz + fuzz * zj
-            mx, my, mz = _normalize3(mx, my, mz)
-            metal_ok = _dot3(mx, my, mz, nx, ny, nz) > 0.0
-
-            # dielectric (DielectricMaterial.cpp:11-86)
-            ri = jnp.where(front, 1.0 / ior, ior)
-            cos_t = jnp.minimum(-dvn, 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
-            cannot = ri * sin_t > 1.0
-            r0s = (1.0 - ri) / (1.0 + ri)
-            r0s = r0s * r0s
-            schlick = r0s + (1.0 - r0s) * (1.0 - cos_t) ** 5
-            do_refl = cannot | (schlick > u[D_REFL])
-            # refract (vecmath.refract)
-            rpx = ri * (dx + cos_t * nx)
-            rpy = ri * (dy + cos_t * ny)
-            rpz = ri * (dz + cos_t * nz)
-            rp2 = _dot3(rpx, rpy, rpz, rpx, rpy, rpz)
-            rpar = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - rp2), 1e-12))
-            gx_, gy_, gz_ = _normalize3(rpx + rpar * nx, rpy + rpar * ny,
-                                        rpz + rpar * nz)
-            ddx, ddy, ddz = _where3(do_refl, rfx, rfy, rfz,
-                                    gx_, gy_, gz_)
-
-            atx = jnp.where(is_diel, 1.0, tr)
-            aty = jnp.where(is_diel, 1.0, tg)
-            atz = jnp.where(is_diel, 1.0, tb)
-            scatters = ~is_light & ~(is_metal & ~metal_ok)
-            skip_pdf = is_metal | is_diel
-            skx, sky_, skz = _where3(is_metal, mx, my, mz, ddx, ddy, ddz)
-
-            # material pdf sample: cosine hemisphere / uniform sphere
-            (ux, uy, uz), (vx, vy, vz), (wx, wy, wz) = _onb_from_w(
-                *_normalize3(nx, ny, nz))
-            phm = (2.0 * math.pi) * u[D_MAT_U]
-            sq2 = jnp.sqrt(jnp.maximum(u[D_MAT_V], 1e-12))
-            zc = jnp.sqrt(jnp.maximum(1e-12, 1.0 - u[D_MAT_V]))
-            ccx = jnp.cos(phm) * sq2
-            ccy = jnp.sin(phm) * sq2
-            cdx = ccx * ux + ccy * vx + zc * wx
-            cdy = ccx * uy + ccy * vy + zc * wy
-            cdz = ccx * uz + ccy * vz + zc * wz
-            cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
-            # uniform sphere (isotropic) reuses the same two uniforms
-            zs = 1.0 - 2.0 * u[D_MAT_U]
-            rs = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zs * zs))
-            ps = (2.0 * math.pi) * u[D_MAT_V]
-            sdx = rs * jnp.cos(ps)
-            sdy = rs * jnp.sin(ps)
-            sdz = zs
-            mdx, mdy, mdz = _where3(is_iso, sdx, sdy, sdz, cdx, cdy, cdz)
-
-            if L > 0:
-                ldx, ldy, ldz = light_sample(px, py, pz, tm,
-                                             u[D_LIGHT_SEL],
-                                             u[D_LIGHT_U], u[D_LIGHT_V])
-                pick = u[D_PICK] < 0.5
-                gdx, gdy, gdz = _where3(pick, ldx, ldy, ldz,
-                                        mdx, mdy, mdz)
-                cosv = jnp.maximum(
-                    0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
-                mat_pdf = jnp.where(is_iso, INV_4PI, cosv)
-                pdf_val = 0.5 * light_pdf(px, py, pz, gdx, gdy, gdz,
-                                          tm) + 0.5 * mat_pdf
-            else:
-                gdx, gdy, gdz = mdx, mdy, mdz
-                cosv = jnp.maximum(
-                    0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
-                pdf_val = jnp.where(is_iso, INV_4PI, cosv)
-
-            coss = jnp.maximum(
-                0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
-            spdf = jnp.where(is_iso, INV_4PI, coss)
-            pdf_ok = pdf_val > 1e-8
-            mis = spdf / jnp.where(pdf_ok, pdf_val, 1.0)
-            factor = jnp.where(skip_pdf, 1.0, mis)
-            ndx, ndy, ndz = _where3(skip_pdf, skx, sky_, skz,
-                                    gdx, gdy, gdz)
-
-            if grad_tex:
                 # product rule through th <- th * at * factor; at is the
                 # eff_tex row's color for every family except dielectric
                 # (at=1 const), and factor never depends on tex_color
-                atc = (atx, aty, atz)
                 for t in range(NT):
                     ind = (eff_tex == float(t)) & ~is_diel
                     for c in range(3):
@@ -1259,23 +1554,23 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                                  + jnp.where(ind, thc[c], 0.0)) * factor
                         Wp[3 * t + c] = jnp.where(live_hit, w_new,
                                                   Wp[3 * t + c])
-            thx = jnp.where(live_hit, thx * atx * factor, thx)
-            thy = jnp.where(live_hit, thy * aty * factor, thy)
-            thz = jnp.where(live_hit, thz * atz * factor, thz)
-            ox, oy, oz = _where3(live_hit, px, py, pz, ox, oy, oz)
-            dx, dy, dz = _where3(live_hit, ndx, ndy, ndz, dx, dy, dz)
+
+            ox, oy, oz = P_["o"]
+            dx, dy, dz = P_["d"]
+            thx, thy, thz = P_["th"]
             # the reference terminates the recursion at depth==max_depth
             # (Camera.cpp:236-237): a path still alive after its
             # max_depth-th bounce contributes nothing further
             b_f = b_f + 1.0
-            alive_new = (live_hit & scatters & (skip_pdf | pdf_ok)
+            alive_new = (live_hit & P_["scatters"]
+                         & (P_["skip_pdf"] | P_["pdf_ok"])
                          & (b_f < max_depth))
             work = alive_new | (s_f + 1.0 < n_samples)
             out = (ox, oy, oz, dx, dy, dz, thx, thy, thz,
                    rx, ry, rz, jnp.where(alive_new, zero + 1.0, zero), b_f,
                    s_f, tm, jnp.where(work, zero + 1.0, zero))
             if grad_tex:
-                out = out + tuple(Wp) + tuple(Gp)
+                out = out + tuple(Wp) + tuple(Gp) + tuple(Dst) + tuple(dG)
             return out
 
         # persistent-wavefront loop: run until every lane is dead AND has
@@ -1291,7 +1586,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  gtm,                                   # ray time
                  zero + 1.0)                            # work-left mask
         if grad_tex:
-            state = state + tuple(zero for _ in range(6 * NT))
+            state = state + tuple(zero for _ in range(2 * n_wp + 10 * K))
 
         def w_cond(st):
             return jnp.sum(st[16]) > 0.0
@@ -1301,11 +1596,14 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         out_ref[1] = out[10]
         out_ref[2] = out[11]
         if grad_tex:
-            # per-tile partial gradient rows: reduce the lane planes over
-            # sublanes here, leave the (tile, lane) reduction to XLA
-            dg_ref[0] = jnp.stack(
-                [jnp.sum(out[17 + 3 * NT + k], axis=0)
-                 for k in range(3 * NT)])
+            # per-tile partial gradient rows (tex cotangents then hard
+            # cotangents): reduce the lane planes over sublanes here, leave
+            # the (tile, lane) reduction to XLA
+            rows = [jnp.sum(out[17 + n_wp + k], axis=0)
+                    for k in range(n_wp)]
+            rows += [jnp.sum(out[17 + 2 * n_wp + 9 * K + k], axis=0)
+                     for k in range(K)]
+            dg_ref[0] = jnp.stack(rows)
 
     return kernel
 
@@ -1313,13 +1611,16 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
-                     "sky_gradient", "rows_per_tile", "interpret"))
+                     "sky_gradient", "rows_per_tile", "interpret",
+                     "hard_slots", "light_src", "want_tex"))
 def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                        width: int, height: int, n_strata: int,
                        max_depth: int, n_samples: int,
                        sky_gradient: bool = False,
                        rows_per_tile: int | None = None,
-                       interpret: bool = False, row0=0, cotangent=None):
+                       interpret: bool = False, row0=0, cotangent=None,
+                       hard_slots: tuple = (), light_src: tuple = (),
+                       want_tex: bool = True):
     """Sum of n_samples stratified samples, (height, width, 3) — fused kernel.
 
     Drop-in replacement for models.render._render_pass (same RNG streams,
@@ -1330,10 +1631,13 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     RNG streams — and the image — are invariant to the mesh layout.
 
     cotangent ((height, width, 3) = d(loss)/d(image sum)): build the fused
-    forward+backward variant instead — returns (image, dG) where dG (NT, 3)
-    is d(loss)/d(flat.tex_color), computed by in-kernel forward-mode
-    accumulation (see _make_kernel grad_tex). Unrolled-mode scenes without
-    constant mediums only (use supports_pallas_grad to gate).
+    forward+backward variant instead — returns (image, dG_tex, dG_hard):
+    dG_tex (NT, 3) = d(loss)/d(flat.tex_color) (zeros when want_tex=False),
+    dG_hard (len(hard_slots),) = d(loss)/d(each hard scalar slot), both by
+    in-kernel forward-mode accumulation (see _make_kernel). hard_slots /
+    light_src are STATIC descriptors computed at bake time by
+    hard_param_slots / light_sphere_sources. Unrolled-mode scenes only (use
+    supports_pallas_grad to gate).
     """
     S = flat.sph_center.shape[0]
     Q = flat.quad_corner.shape[0]
@@ -1353,10 +1657,12 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         # whole-tile cluster/node culling noticeably tighter
         rows_per_tile = 32 if unroll else 16
     csph = jnp.zeros((1, 6), jnp.float32)
+    cgrp = jnp.zeros((1, 6), jnp.float32)
     nodef = jnp.zeros((1, 6), jnp.float32)
-    nodei = jnp.zeros((1, 4), jnp.int32)
+    nodei = jnp.zeros((1, 5), jnp.int32)
     bprims = jnp.zeros((1,), jnp.int32)
     n_clusters = 0
+    n_groups = 0
     if unroll:
         primmatf = primmatf[:1]        # scan tables unused; keep SMEM slim
     else:
@@ -1367,15 +1673,19 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
             nodef = jnp.concatenate([flat.bvh_bbox_min, flat.bvh_bbox_max],
                                     axis=1)
             nodei = jnp.stack([flat.bvh_left, flat.bvh_right, flat.bvh_axis,
-                               flat.bvh_leaf.astype(jnp.int32)], axis=1)
+                               flat.bvh_leaf.astype(jnp.int32),
+                               flat.bvh_leaf_sph], axis=1)
             bprims = flat.bvh_prims
         else:
-            sphf, pm_s, cbox = _cluster_spheres(sphf, primmatf[:S])
+            sphf, pm_s, cbox, gbox = _cluster_spheres(sphf, primmatf[:S])
             if cbox is not None:
                 primmatf = jnp.concatenate([pm_s, primmatf[S:]], axis=0)
                 S = sphf.shape[0]      # padded to a CLUSTER multiple
                 csph = cbox
                 n_clusters = int(cbox.shape[0])
+            if gbox is not None:
+                cgrp = gbox
+                n_groups = int(gbox.shape[0])
 
     n_pix = width * height
     R = rows_per_tile
@@ -1402,15 +1712,23 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
 
     grad_tex = cotangent is not None
     NT_k = int(texf.shape[0])
+    K = len(hard_slots)
+    n_wp = 3 * NT_k if (grad_tex and want_tex) else 0
+    if grad_tex:
+        assert n_wp + K > 0, "cotangent given but no gradient target"
     kernel = _make_kernel(
         S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=NT_k, M=M,
         R=R, width=width, n_pix=n_pix, n_strata=n_strata,
         max_depth=max_depth, n_samples=n_samples, sky_gradient=sky_gradient,
-        unroll_prims=unroll, n_clusters=n_clusters, grad_tex=grad_tex,
+        unroll_prims=unroll, n_clusters=n_clusters, n_groups=n_groups,
+        grad_tex=grad_tex,
         bvh_mode=bvh_mode, has_noise=flat.has_noise,
         MQ=int(flat.med_quad_corner.shape[1]),
+        MS=int(flat.med_sph_center.shape[1]),
         tex_struct=(flat.tex_struct[:NT_k] if flat.tex_struct
-                    else ((TEX_SOLID, 0, 0),) * NT_k))
+                    else ((TEX_SOLID, 0, 0),) * NT_k),
+        hard_slots=hard_slots, light_src=light_src[:max(L, 1)],
+        want_tex=want_tex)
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -1429,11 +1747,12 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         inputs.append(g.reshape(3, n_tiles * R, lane))
         in_specs.append(pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
+        n_rows = n_wp + K
         out_specs = [out_specs,
-                     pl.BlockSpec((1, 3 * NT_k, lane), lambda i: (i, 0, 0),
+                     pl.BlockSpec((1, n_rows, lane), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((n_tiles, 3 * NT_k, lane),
+                     jax.ShapeDtypeStruct((n_tiles, n_rows, lane),
                                           jnp.float32)]
     # SMEM tables go in TRANSPOSED, (cols, rows): Mosaic pads each SMEM-window
     # row to a full 512 B lane group, so (rows, cols) layout costs
@@ -1443,9 +1762,9 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     # 8000-prim table costs its actual byte size. All kernel reads are
     # scalar [col, row].
     inputs += [iscal, fscal, sphf.T, quadf.T, prim_mat, lightf.T, mati.T,
-               matf.T, texf.T, primmatf.T, csph.T, medf.T, nodef.T, nodei.T,
-               bprims]
-    in_specs += [smem()] * 15
+               matf.T, texf.T, primmatf.T, csph.T, cgrp.T, medf.T, nodef.T,
+               nodei.T, bprims]
+    in_specs += [smem()] * 16
 
     out = pl.pallas_call(
         kernel,
@@ -1459,7 +1778,10 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
 
     if grad_tex:
         out, dg = out
-        dg = dg.sum(axis=(0, 2)).reshape(NT_k, 3)
+        summed = dg.sum(axis=(0, 2))                   # (n_wp + K,)
+        dg_tex = (summed[:n_wp].reshape(NT_k, 3) if want_tex
+                  else jnp.zeros((NT_k, 3), jnp.float32))
+        dg_hard = summed[n_wp:]
     img = out.reshape(3, n_tiles * rays_per_tile)[:, :n_pix]
     img = jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
-    return (img, dg) if grad_tex else img
+    return (img, dg_tex, dg_hard) if grad_tex else img

@@ -162,13 +162,12 @@ def _walk(obj, R, t, tab: _Tables, out_spheres, out_quads):
     elif isinstance(obj, S.ConstantMedium):
         b_spheres, b_quads = [], []
         _walk(obj.boundary, R, t, tab, b_spheres, b_quads)
-        # arbitrary-quad-count convex boundaries are supported (the quad
-        # table grows to the scene's max); only multi-sphere boundaries
-        # remain out of model (ConstantMedium.cpp:25-96 needs exactly one
-        # entry/exit pair, which one sphere + N planes provides)
-        if len(b_spheres) > 1:
-            raise ValueError("constant_medium boundary too complex "
-                             f"({len(b_spheres)} spheres)")
+        # arbitrary boundaries: N spheres + N quads per medium (both tables
+        # grow to the scene's max). The span is the FIRST TWO crossings of
+        # the whole boundary, exactly the reference's double-hit semantics
+        # (ConstantMedium.cpp:25-96: hit over UNIVERSE, then hit over
+        # (t1+eps, inf)) — which is also how the reference treats composite
+        # boundaries, since HittableList::hit returns the closest crossing.
         iso = tab.add_material(S.Isotropic(obj.texture))
         tab.mediums.append(dict(neg_inv_density=-1.0 / float(obj.density),
                                 mat=iso, spheres=b_spheres, quads=b_quads))
@@ -235,10 +234,12 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
     zero_quad = _quad_row(z, np.array([1e-6, 0, 0]), np.array([0, 1e-6, 0]), 0)
     quads_p = pad_rows(quads, quad_pad, zero_quad)
 
-    # medium boundary tables
+    # medium boundary tables (ragged: N spheres + N quads per medium, padded
+    # to the scene-wide max)
     med = tab.mediums
-    med_sph_center = np.zeros((m_pad, 3))
-    med_sph_radius = np.zeros(m_pad)
+    ms_pad = max([1] + [len(m["spheres"]) for m in med])
+    med_sph_center = np.zeros((m_pad, ms_pad, 3))
+    med_sph_radius = np.zeros((m_pad, ms_pad))
     mq_pad = max([MIN_MED_QUADS] + [len(m["quads"]) for m in med])
     med_qc = np.zeros((m_pad, mq_pad, 3))
     med_qu = np.zeros((m_pad, mq_pad, 3))
@@ -252,9 +253,9 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
     for i, m in enumerate(med):
         med_nid[i] = m["neg_inv_density"]
         med_mat[i] = m["mat"]
-        if m["spheres"]:
-            med_sph_center[i] = m["spheres"][0]["center"]
-            med_sph_radius[i] = m["spheres"][0]["radius"]
+        for j, sp in enumerate(m["spheres"]):
+            med_sph_center[i, j] = sp["center"]
+            med_sph_radius[i, j] = sp["radius"]
         for j, q in enumerate(m["quads"]):
             med_qc[i, j] = q["corner"]
             med_qu[i, j] = q["u"]
@@ -313,6 +314,7 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
         bvh_axis=_i32([0]),
         bvh_leaf=jnp.asarray([True]),
         bvh_prims=_i32([0]),
+        bvh_leaf_sph=_i32([0]),
         n_spheres=n_sph,
         n_quads=n_quad,
         n_lights=len(light_prims),

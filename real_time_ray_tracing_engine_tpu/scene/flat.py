@@ -46,11 +46,13 @@ class FlatScene:
     light_prim: jnp.ndarray      # (L,) int32
     light_active: jnp.ndarray    # (L,) bool
 
-    # --- constant mediums (M rows, boundary = up to 6 quads + 1 sphere each)
+    # --- constant mediums (M rows; ragged boundaries of MS spheres + MQ
+    # quads, padded to the scene max — the span is the first two crossings
+    # of the union, ConstantMedium.cpp:25-96 double-hit semantics)
     med_neg_inv_density: jnp.ndarray  # (M,)
     med_mat: jnp.ndarray              # (M,) int32 (isotropic material)
-    med_sph_center: jnp.ndarray       # (M, 3)
-    med_sph_radius: jnp.ndarray       # (M,)  0 => no sphere boundary
+    med_sph_center: jnp.ndarray       # (M, MS, 3)
+    med_sph_radius: jnp.ndarray       # (M, MS)  0 => inactive slot
     med_quad_corner: jnp.ndarray      # (M, 6, 3)
     med_quad_u: jnp.ndarray           # (M, 6, 3)
     med_quad_v: jnp.ndarray           # (M, 6, 3)
@@ -86,6 +88,10 @@ class FlatScene:
     bvh_axis: jnp.ndarray        # (B,) int32 split axis for near-child ordering
     bvh_leaf: jnp.ndarray        # (B,) bool
     bvh_prims: jnp.ndarray       # (P,) int32 leaf-ordered unified prim ids
+    # sphere count within each leaf's prim run: build_bvh orders every leaf's
+    # prims spheres-first, so kernel leaf tests run two cond-free typed loops
+    # instead of a per-prim sphere-vs-quad lax.cond (VERDICT round-2 item 2)
+    bvh_leaf_sph: jnp.ndarray = None   # (B,) int32
 
     # --- static metadata (compile-time constants)
     n_spheres: int = flax.struct.field(pytree_node=False, default=0)

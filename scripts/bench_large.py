@@ -1,0 +1,138 @@
+"""Large-scene throughput harness (VERDICT round-2 item 2 targets).
+
+Measures the fused megakernel on:
+  - bouncing_spheres 400x225 spp9 depth50 (485 prims; reference scene,
+    main.cpp:73-131) in scan and BVH modes — target >= 20 Mpaths/s
+  - a 17^3 = 4913-sphere grid, depth 8 (the >4096-prim regime) — target
+    >= 5 Mpaths/s
+
+Usage: python scripts/bench_large.py [scan|bvh|grid|gridbvh|all] [R]
+Prints one line per measurement. Run on a real TPU.
+"""
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import real_time_ray_tracing_engine_tpu as rt  # noqa: E402
+from real_time_ray_tracing_engine_tpu.scene.compile import compile_scene  # noqa: E402
+from real_time_ray_tracing_engine_tpu.models import camera as cam_mod  # noqa: E402
+from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (  # noqa: E402
+    render_pass_pallas, pallas_gate_reason)
+
+
+def grid_scene(n=17):
+    """n^3 lambertian sphere grid under a sky — the >4096-prim regime."""
+    objs = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                c = (i * 2.0, j * 2.0, k * 2.0)
+                albedo = tuple(map(float, rng.uniform(0.2, 0.9, 3)))
+                objs.append(rt.Sphere(c, 0.45,
+                                      rt.Lambertian(rt.SolidColor(albedo))))
+    cam = rt.CameraConfig(aspect_ratio=16 / 9, image_width=400,
+                          samples_per_pixel=9, max_depth=8, vfov=40,
+                          lookfrom=(n * 3.0, n * 2.2, n * 3.0),
+                          lookat=(n * 1.0, n * 1.0, n * 1.0),
+                          background=(0.7, 0.8, 1.0))
+    return rt.Scene(objects=objs, lights=[], camera=cam, name="grid")
+
+
+def bench(name, scene, *, use_bvh, depth, spp, R, reps=3):
+    flat = compile_scene(scene, use_bvh=use_bvh)
+    reason = pallas_gate_reason(flat)
+    if reason is not None:
+        print(f"[{name}] GATED: {reason}")
+        return
+    cam = cam_mod.derive(scene.camera)
+    w, h = cam_mod.image_size(scene.camera)
+    seed = jnp.asarray(0, jnp.uint32)
+
+    def run(s0):
+        return render_pass_pallas(
+            flat, cam, seed, jnp.asarray(s0, jnp.int32), width=w, height=h,
+            n_strata=3, max_depth=depth, n_samples=spp,
+            sky_gradient=scene.camera.sky_gradient, rows_per_tile=R,
+            interpret=jax.default_backend() == "cpu")
+
+    t0 = time.perf_counter()
+    out = np.asarray(run(0))
+    tc = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = run((i + 1) * spp)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / reps
+    mp = w * h * spp / dt / 1e6
+    print(f"[{name}] {w}x{h} spp{spp} d{depth} R={R} "
+          f"prims={flat.n_prims} bvh={use_bvh}: {mp:.2f} Mpaths/s "
+          f"({dt*1e3:.0f} ms/pass, compile {tc:.0f}s)", flush=True)
+
+
+def bench_sync(name, scene, *, use_bvh, depth, spp, R, reps=2):
+    """Bounce-SYNCHRONOUS variant: spp passes of n_samples=1 — no lane
+    regeneration, so all lanes in a tile walk the same bounce index and
+    primary rays stay a coherent beam for the cluster/BVH culling tests.
+    Trades dead-lane spin (no regen amortization) for much tighter
+    whole-tile culling on the early bounces, where most of the work is."""
+    flat = compile_scene(scene, use_bvh=use_bvh)
+    if pallas_gate_reason(flat):
+        print(f"[{name}] GATED"); return
+    cam = cam_mod.derive(scene.camera)
+    w, h = cam_mod.image_size(scene.camera)
+    seed = jnp.asarray(0, jnp.uint32)
+
+    def run(s0):
+        acc = None
+        for s in range(spp):
+            img = render_pass_pallas(
+                flat, cam, seed, jnp.asarray(s0 + s, jnp.int32), width=w,
+                height=h, n_strata=3, max_depth=depth, n_samples=1,
+                sky_gradient=scene.camera.sky_gradient, rows_per_tile=R,
+                interpret=jax.default_backend() == "cpu")
+            acc = img if acc is None else acc + img
+        return acc
+
+    out = np.asarray(run(0))
+    assert np.isfinite(out).all()
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = run((i + 1) * spp)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / reps
+    mp = w * h * spp / dt / 1e6
+    print(f"[{name}] SYNC {w}x{h} spp{spp} d{depth} R={R} bvh={use_bvh}: "
+          f"{mp:.2f} Mpaths/s ({dt*1e3:.0f} ms/{spp}-pass)", flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    R = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    if which in ("scan", "all"):
+        bench("bouncing/scan", rt.builders.bouncing_spheres(image_width=400),
+              use_bvh=False, depth=50, spp=9, R=R)
+    if which in ("bvh", "all"):
+        bench("bouncing/bvh", rt.builders.bouncing_spheres(image_width=400),
+              use_bvh=True, depth=50, spp=9, R=R)
+    if which in ("grid", "all"):
+        bench("grid4913/scan", grid_scene(), use_bvh=False, depth=8, spp=9,
+              R=R)
+    if which in ("gridbvh", "all"):
+        bench("grid4913/bvh", grid_scene(), use_bvh=True, depth=8, spp=9,
+              R=R)
+    if which == "sync":
+        bench_sync("bouncing/scan", rt.builders.bouncing_spheres(
+            image_width=400), use_bvh=False, depth=50, spp=9, R=R)
+        bench_sync("grid4913/scan", grid_scene(), use_bvh=False, depth=8,
+                   spp=9, R=R)
+        bench_sync("grid4913/bvh", grid_scene(), use_bvh=True, depth=8,
+                   spp=9, R=R)

@@ -223,7 +223,7 @@ def test_fused_tex_grad_matches_kernel_fd():
     g = jnp.asarray(
         np.random.default_rng(1).normal(size=(h, w, 3)), jnp.float32)
 
-    img, dg = render_pass_pallas(flat, cam, seed, 0, cotangent=g, **kw)
+    img, dg, _ = render_pass_pallas(flat, cam, seed, 0, cotangent=g, **kw)
     img0 = render_pass_pallas(flat, cam, seed, 0, **kw)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img0), atol=1e-6)
 
@@ -248,6 +248,139 @@ def test_fused_tex_grad_matches_kernel_fd():
                                        rtol=5e-3, err_msg=f"tex {t} ch {c}")
             checked += 1
     assert checked >= 2
+
+
+def test_fused_full_grad_matches_replay():
+    """Full-family fused backward (VERDICT round-2 item 1): the in-kernel
+    tangent-bundle gradients for fuzz / IOR / sphere center / sphere radius
+    — and the weight-plane tex_color gradients — must match jax.vjp of the
+    pure-JAX replay of the identical estimator (bit-matched RNG streams).
+    The replay IS the semantics the kernel backward claims to implement
+    (detached sampling, reparameterized t(theta)), so agreement here is
+    float-noise-tight up to discrete branch flips on last-ulp differences.
+    The scene includes a SPHERE MIS light that aliases a trainable sphere,
+    exercising the light-row theta aliasing (light_sphere_sources)."""
+    from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (
+        render_pass_pallas, supports_pallas_grad, hard_param_slots,
+        light_sphere_sources, HARD_SLOT_FIELDS)
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+    from real_time_ray_tracing_engine_tpu.parallel.mesh import \
+        _tile_sample_render
+    from real_time_ray_tracing_engine_tpu.parallel import train
+
+    cam = rt.CameraConfig(aspect_ratio=1.0, image_width=20,
+                          samples_per_pixel=4, max_depth=4, vfov=40,
+                          lookfrom=(0, 2, 9), lookat=(0, 1, 0))
+    glass = rt.Dielectric(1.5)
+    glass_sphere = rt.Sphere((0, 1, 1.8), 0.8, glass)
+    scene = rt.Scene(objects=[
+        rt.Quad((-6, 0, -6), (12, 0, 0), (0, 0, 12),
+                rt.Lambertian(rt.SolidColor((0.6, 0.5, 0.4)))),
+        rt.Quad((-1.5, 5, -1.5), (3, 0, 0), (0, 0, 3),
+                rt.DiffuseLight(rt.SolidColor((6, 6, 6)))),
+        rt.Sphere((-1.6, 1, 0), 1.0,
+                  rt.Lambertian(rt.SolidColor((0.8, 0.2, 0.2)))),
+        rt.Sphere((1.6, 1, 0), 1.0, rt.Metal((0.9, 0.9, 0.9), 0.3)),
+        glass_sphere,
+    ], lights=[rt.Quad((-1.5, 5, -1.5), (3, 0, 0), (0, 0, 3),
+                       rt.Lambertian(rt.SolidColor((1, 1, 1)))),
+               glass_sphere],
+        camera=cam)
+    flat = compile_scene(scene)
+    assert supports_pallas_grad(flat)
+    slots = hard_param_slots(flat)
+    light_src = light_sphere_sources(flat)
+    assert any(s >= 0 for s in light_src)   # sphere light aliasing covered
+    assert {s[0] for s in slots} == {"fuzz", "ior", "sphc", "sphr"}
+
+    camd = cam_mod.derive(cam)
+    w, h = cam_mod.image_size(cam)
+    seed = jnp.asarray(7, jnp.uint32)
+    g = jnp.asarray(
+        np.random.default_rng(2).normal(size=(h, w, 3)), jnp.float32)
+    kw = dict(width=w, height=h, n_strata=2, max_depth=4, n_samples=4,
+              interpret=True)
+
+    img, dg_tex, dg_hard = render_pass_pallas(
+        flat, cam_mod.derive(cam), seed, 0, cotangent=g,
+        hard_slots=slots, light_src=light_src, **kw)
+    # the grad variant's primal image must be unchanged
+    img0 = render_pass_pallas(flat, camd, seed, 0, **kw)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img0), atol=1e-6)
+
+    params = train.get_params(flat)
+
+    def replay(p):
+        return _tile_sample_render(
+            train.set_params(flat, p), camd, seed, width=w, height_local=h,
+            row0=jnp.asarray(0, jnp.int32), n_strata=2, spp_local=4,
+            sample0=jnp.asarray(0, jnp.int32), max_depth=4,
+            sky_gradient=False)
+
+    _, vjp = jax.vjp(replay, params)
+    (dp,) = vjp(g)
+
+    np.testing.assert_allclose(np.asarray(dg_tex),
+                               np.asarray(dp["tex_color"]),
+                               rtol=2e-2, atol=2e-3)
+    checked = 0
+    for k, slot in enumerate(slots):
+        f = HARD_SLOT_FIELDS[slot[0]]
+        idx = slot[1] if slot[0] != "sphc" else (slot[1], slot[2])
+        want = float(np.asarray(dp[f])[idx])
+        got = float(np.asarray(dg_hard)[k])
+        np.testing.assert_allclose(
+            got, want, rtol=5e-2, atol=5e-3, err_msg=f"{slot}")
+        if abs(want) > 1e-3:
+            checked += 1
+    assert checked >= 6, checked   # real signal on most hard params
+
+
+def test_fused_grad_cornell_smoke_mediums():
+    """Constant-medium scenes are now inside the fused-backward gate
+    (VERDICT round-2 item 1: cornell_smoke previously trained at replay
+    speed even for tex_color). Medium tint is tex_color-family — the weight
+    planes flow through the isotropic in-medium scatter — so the kernel
+    tex gradients must match the replay's."""
+    from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (
+        render_pass_pallas, supports_pallas_grad, hard_param_slots,
+        light_sphere_sources)
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+    from real_time_ray_tracing_engine_tpu.parallel.mesh import \
+        _tile_sample_render
+    from real_time_ray_tracing_engine_tpu.parallel import train
+
+    s = rt.builders.cornell_smoke()
+    s.camera.image_width = 16
+    flat = compile_scene(s)
+    assert flat.n_mediums == 2
+    assert supports_pallas_grad(flat)           # gate lifted for mediums
+    camd = cam_mod.derive(s.camera)
+    w, h = cam_mod.image_size(s.camera)
+    seed = jnp.asarray(3, jnp.uint32)
+    g = jnp.asarray(
+        np.random.default_rng(4).normal(size=(h, w, 3)), jnp.float32)
+    kw = dict(width=w, height=h, n_strata=2, max_depth=4, n_samples=4,
+              interpret=True)
+    img, dg_tex, _ = render_pass_pallas(
+        flat, camd, seed, 0, cotangent=g,
+        hard_slots=hard_param_slots(flat),
+        light_src=light_sphere_sources(flat), **kw)
+    assert np.isfinite(np.asarray(img)).all()
+
+    def replay(tc):
+        return _tile_sample_render(
+            flat.replace(tex_color=tc), camd, seed, width=w, height_local=h,
+            row0=jnp.asarray(0, jnp.int32), n_strata=2, spp_local=4,
+            sample0=jnp.asarray(0, jnp.int32), max_depth=4,
+            sky_gradient=False)
+
+    _, vjp = jax.vjp(replay, flat.tex_color)
+    (d_tc,) = vjp(g)
+    # the smoke tints' rows must carry real signal
+    assert np.abs(np.asarray(d_tc)).max() > 0.05
+    np.testing.assert_allclose(np.asarray(dg_tex), np.asarray(d_tc),
+                               rtol=2e-2, atol=2e-3)
 
 
 def test_kernel_render_vjp_matches_jax_engine():

@@ -174,6 +174,35 @@ def test_bvh_mode_matches_oracle():
     _assert_close(img_p, img_j)
 
 
+def test_two_level_cluster_culling_matches_oracle(monkeypatch):
+    """Scan mode's second-level group boxes (GROUP consecutive Morton
+    clusters culled with one slab test — the flat 2-level BVH analogue for
+    >GROUP*CLUSTER*2-prim scenes). GROUP is patched down so the ~70-prim
+    scan scene exercises the two-level path at test cost."""
+    import real_time_ray_tracing_engine_tpu.ops.wavefront_pallas as wp
+    monkeypatch.setattr(wp, "GROUP", 2)
+    rng = np.random.default_rng(3)
+    objs = []
+    for i in range(70):
+        c = tuple(map(float, rng.uniform(-4, 4, 3)))
+        albedo = tuple(map(float, rng.uniform(0.2, 0.9, 3)))
+        objs.append(rt.Sphere(c, 0.4, rt.Lambertian(rt.SolidColor(albedo))))
+    light = rt.Sphere((0, 8, 0), 2.0,
+                      rt.DiffuseLight(rt.SolidColor((5, 5, 5))))
+    objs.append(light)
+    scene = rt.Scene(objects=objs, lights=[light],
+                     camera=rt.CameraConfig(
+                         image_width=48, aspect_ratio=1.0,
+                         samples_per_pixel=4, max_depth=4, vfov=40,
+                         lookfrom=(0, 2, 10), lookat=(0, 0, 0),
+                         background=(0.5, 0.6, 0.8)))
+    flat = compile_scene(scene)
+    # 70+ sphere rows > 2*CLUSTER*GROUP=64 with GROUP=2 -> two-level active
+    assert flat.sph_center.shape[0] > 2 * wp.CLUSTER * wp.GROUP
+    img_p, img_j = _compare(scene)
+    _assert_close(img_p, img_j)
+
+
 def test_bouncing_spheres_supported():
     """The second reference driver scene (485 prims, ~460 materials,
     main.cpp:73-131) is inside the scan-mode gate."""
@@ -266,6 +295,35 @@ def test_complex_medium_boundary_matches_oracle():
     assert flat.med_quad_corner.shape[1] == 12
     assert supports_pallas(flat)
     img_p, img_j = _compare(scene)
+    _assert_close(img_p, img_j)
+
+
+def test_multi_sphere_medium_boundary_matches_oracle():
+    """Cap lift (VERDICT round-2 item 5): a constant-medium boundary made of
+    TWO spheres compiles (med tables grow an MS axis) and the kernel matches
+    the oracle. Span semantics = first two crossings of the union, the
+    reference's double-hit contract (ConstantMedium.cpp:25-96)."""
+    white = rt.Lambertian(rt.SolidColor((1, 1, 1)))
+    fog = rt.ConstantMedium(
+        rt.Group([rt.Sphere((-1.2, 1, 0), 1.5, white),
+                  rt.Sphere((1.2, 1, 0), 1.5, white)]),
+        0.5, rt.SolidColor((0.9, 0.6, 0.3)))
+    cam = rt.CameraConfig(aspect_ratio=1.0, image_width=32,
+                          samples_per_pixel=4, max_depth=4,
+                          lookfrom=(0, 1.5, 8), lookat=(0, 1, 0),
+                          sky_gradient=True)
+    scene = rt.Scene(objects=[
+        rt.Quad((-8, 0, -8), (16, 0, 0), (0, 0, 16),
+                rt.Lambertian(rt.SolidColor((0.5, 0.5, 0.5)))),
+        fog], camera=cam)
+    flat = compile_scene(scene)
+    assert flat.med_sph_center.shape[1] == 2
+    assert supports_pallas(flat)
+    img_p, img_j = _compare(scene)
+    # the fog must actually scatter: remove it and the image changes a lot
+    clear = rt.Scene(objects=scene.objects[:1], camera=cam)
+    _, img_clear = _compare(clear)
+    assert np.abs(img_j - img_clear).mean() > 0.05
     _assert_close(img_p, img_j)
 
 

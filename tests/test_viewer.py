@@ -33,7 +33,8 @@ def test_run_viewer_non_interactive(tmp_path):
     scene.camera.max_depth = 2
     ckpt = str(tmp_path / "view.npz")
     buf = io.StringIO()
-    prog = run_viewer(scene, max_frames=2, checkpoint=ckpt, out=buf)
+    prog = run_viewer(scene, max_frames=2, checkpoint=ckpt, out=buf,
+                      adaptive=False)
     assert prog.samples_taken == 2
     assert os.path.exists(ckpt)
     text = buf.getvalue()
@@ -45,3 +46,55 @@ def test_run_viewer_non_interactive(tmp_path):
     assert "Converged" in buf2.getvalue()
     img = np.asarray(prog2.image())
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+def test_adaptive_work_controller_converges():
+    """AdaptiveWork (the reference's FPS-keyed tile-resize analogue,
+    DynamicCamera.cpp:190-193): fed a fake frame clock where each sample
+    costs a fixed wall time, the controller must settle inside the
+    [FPS_LO, FPS_HI] band — doubling work when fast, halving when slow —
+    and respect its [1, cap] clamp."""
+    from real_time_ray_tracing_engine_tpu.models.viewer import AdaptiveWork
+
+    ctrl = AdaptiveWork(cap=16)
+    sample_cost = 0.008           # 8 ms per stratum -> 125 fps at k=1
+    ks = []
+    for _ in range(12):
+        fps = 1.0 / (ctrl.k * sample_cost)
+        ks.append(ctrl.update(fps))
+    # settles at k=4 (31 fps) oscillating with k=8 (16 fps) — inside band
+    assert max(ks) <= 16 and min(ks) >= 1
+    tail = ks[-6:]
+    assert all(1.0 / (k * sample_cost) >= AdaptiveWork.FPS_LO for k in tail)
+    assert set(tail) <= {4, 8}
+
+    slow = AdaptiveWork(cap=16)
+    slow.k = 16
+    for _ in range(8):
+        slow.update(1.0 / (slow.k * 0.2))      # 200 ms per stratum
+    assert slow.k == 1                         # halves to the floor
+
+    fast = AdaptiveWork(cap=8)
+    for _ in range(8):
+        fast.update(1000.0)
+    assert fast.k == 8                         # clamped at cap
+
+
+def test_progressive_step_k():
+    """ProgressiveRenderer.step(k) renders k strata in one fused pass and
+    matches k single steps (regeneration keeps per-sample streams intact)."""
+    from real_time_ray_tracing_engine_tpu.models.render import \
+        ProgressiveRenderer
+    scene = builders.cornell_box()
+    scene.camera.image_width = 16
+    scene.camera.samples_per_pixel = 4
+    scene.camera.max_depth = 2
+    a = ProgressiveRenderer(scene)
+    a.step(3)
+    a.step(3)                     # clamped to the 1 remaining stratum
+    assert a.converged and a.samples_taken == 4
+    b = ProgressiveRenderer(scene)
+    while b.step():
+        pass
+    np.testing.assert_allclose(np.asarray(a.image()), np.asarray(b.image()),
+                               rtol=1e-5, atol=1e-6)
