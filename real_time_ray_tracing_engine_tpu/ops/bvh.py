@@ -123,6 +123,27 @@ def _build_native(bb_min, bb_max, active):
             leaf[:k].astype(bool), order)
 
 
+def _skip_links(left, right, leaf):
+    """Stackless DFS skip links for per-lane traversal (hit = left child for
+    inner nodes; miss = next sibling up the continuation chain; B = done).
+    The classic GPU "escape pointer" layout, here feeding the TPU lane-BVH
+    kernel where each lane walks its own chain via 128-lane gathers."""
+    n = left.shape[0]
+    hit = np.zeros(n, np.int32)
+    miss = np.zeros(n, np.int32)
+    stack = [(0, n)]
+    while stack:
+        i, cont = stack.pop()
+        miss[i] = cont
+        if leaf[i]:
+            hit[i] = cont
+        else:
+            hit[i] = left[i]
+            stack.append((left[i], right[i]))   # left's continuation = right
+            stack.append((right[i], cont))
+    return hit, miss
+
+
 def _segregate_leaves(n_sph, left, right, leaf, prims):
     """Reorder each leaf's prim run spheres-first (in place) and return the
     per-node sphere count. Kernel leaf tests then run two cond-free typed
@@ -152,12 +173,15 @@ def build_bvh(scene: FlatScene) -> FlatScene:
         n_min, n_max, left, right, axis, leaf, prims = nat
         prims = np.ascontiguousarray(prims)
         leaf_sph = _segregate_leaves(n_sph, left, right, leaf, prims)
+        hit, miss = _skip_links(left, right, leaf)
         return scene.replace(
             bvh_bbox_min=jnp.asarray(n_min), bvh_bbox_max=jnp.asarray(n_max),
             bvh_left=jnp.asarray(left), bvh_right=jnp.asarray(right),
             bvh_axis=jnp.asarray(axis), bvh_leaf=jnp.asarray(leaf),
             bvh_prims=jnp.asarray(prims),
-            bvh_leaf_sph=jnp.asarray(leaf_sph), use_bvh=True)
+            bvh_leaf_sph=jnp.asarray(leaf_sph),
+            bvh_hit=jnp.asarray(hit), bvh_miss=jnp.asarray(miss),
+            use_bvh=True)
 
     centroids = 0.5 * (bb_min + bb_max)
     all_ids = np.nonzero(active)[0].astype(np.int64)
@@ -207,13 +231,16 @@ def build_bvh(scene: FlatScene) -> FlatScene:
     leaf = np.array([x[5] for x in nodes], bool)
     prims = np.array(order if order else [0], np.int32)
     leaf_sph = _segregate_leaves(n_sph, left, right, leaf, prims)
+    hit, miss = _skip_links(left, right, leaf)
 
     return scene.replace(
         bvh_bbox_min=jnp.asarray(n_min), bvh_bbox_max=jnp.asarray(n_max),
         bvh_left=jnp.asarray(left), bvh_right=jnp.asarray(right),
         bvh_axis=jnp.asarray(axis), bvh_leaf=jnp.asarray(leaf),
         bvh_prims=jnp.asarray(prims),
-        bvh_leaf_sph=jnp.asarray(leaf_sph), use_bvh=True)
+        bvh_leaf_sph=jnp.asarray(leaf_sph),
+        bvh_hit=jnp.asarray(hit), bvh_miss=jnp.asarray(miss),
+        use_bvh=True)
 
 
 # ------------------------------------------------------------- traversal

@@ -34,13 +34,18 @@ quads, all 5 material families, solid/checker textures, sphere+quad MIS
 lights, constant mediums (ConstantMedium.cpp free-flight scattering),
 defocus, motion blur, stratification — runs in-kernel.
 
-Two intersection strategies, chosen statically by scene size:
+Three intersection strategies, chosen statically by scene shape:
   - unrolled (<=64 prims, Cornell class): Python-unrolled prim loop with
     static SMEM scalar reads + masked-select material/texture gather.
-  - scan (up to 4096 prims, bouncing-spheres class): lax.fori_loop over prim
-    rows with dynamic SMEM scalar reads; the winner's fully-resolved material
-    row (type/fuzz/ior/texture colors) rides the intersection carry because
-    per-lane table gathers are not VPU ops.
+  - scan (bouncing-spheres class): lax.fori_loop over Morton clusters with
+    two-level any-lane box culling, unrolled per-cluster sphere tests with
+    dynamic SMEM scalar reads, and lazy winner-material gathers.
+  - lane BVH (all-sphere use_bvh scenes): per-lane STACKLESS skip-link
+    traversal — each lane walks its own escape-pointer chain through the
+    SAH BVH using Mosaic's 128-lane dynamic gathers (chunked lookups,
+    bf16-packed conservative boxes), draining leaf prims one per step.
+    The only mode whose work scales with what each RAY sees rather than
+    with what any lane in the tile sees.
 """
 from __future__ import annotations
 
@@ -99,10 +104,15 @@ def _smem_table_bytes(flat: FlatScene) -> int:
     MQ = flat.med_quad_corner.shape[1]
     MS = flat.med_sph_center.shape[1]
     unroll = _use_unrolled(S, Q, NM, NT)
+    lane = (flat.use_bvh and not unroll and flat.n_quads == 0
+            and B <= LANE_BVH_MAX and flat.bvh_prims.shape[0] <= LANE_BVH_MAX)
     # mirror the wrapper's table slimming: unrolled mode drops the resolved
     # per-prim rows; scan/bvh modes drop the mat/tex tables (the resolved
-    # rows replace them) and Morton-pad the sphere tables
-    if unroll or flat.use_bvh:
+    # rows replace them) and Morton-pad the sphere tables; lane mode moves
+    # prim/material/node data into VMEM gather tables entirely
+    if lane:
+        pad_s, n_clu, n_grp = 1, 1, 1
+    elif unroll or flat.use_bvh:
         pad_s, n_clu, n_grp = S, 1, 1
     else:
         two_level = S > 2 * CLUSTER * GROUP
@@ -110,9 +120,11 @@ def _smem_table_bytes(flat: FlatScene) -> int:
         pad_s = -(-S // quantum) * quantum
         n_clu = pad_s // CLUSTER
         n_grp = pad_s // (CLUSTER * GROUP) if two_level else 1
-    n_primmat = 1 if unroll else pad_s + Q + M
+    n_primmat = 1 if unroll else (max(M, 1) if lane else pad_s + Q + M)
     n_mt = NM if unroll else 1
     n_tex = NT if unroll else 1
+    if lane:
+        B = 1                           # node table moves to VMEM
     return (t(8, pad_s) + t(18, Q) + t(1, P + M)
             + t(25, max(flat.n_lights, 1))
             + t(2, n_mt) * 2 + t(14, n_tex)
@@ -374,6 +386,66 @@ def _cluster_spheres(sphf, primmat_s):
     return sphf, primmat_s, cbox, gbox
 
 
+LANE_BVH_MAX = 16383    # node/prim ids must fit 14 bits of the control word
+
+
+def _pack_lane_tables(flat: FlatScene, primmatf):
+    """Chunked 128-lane tables for the per-lane skip-link BVH kernel.
+
+    Per-lane traversal is possible on TPU because Mosaic supports dynamic
+    gathers WITHIN a 128-lane register row (jnp.take_along_axis axis=1 on a
+    (R, 128) operand): a lookup into an N-entry table costs ceil(N/128)
+    gather+select steps. Tables are therefore laid out as (fields *
+    chunks, 128) f32 in VMEM:
+
+      node table (4 rows/chunk): 3 axis-packed boxes + 1 control word.
+        Boxes pack (min, max) per axis as two bf16s in one f32's bit
+        pattern — conservatively dilated by 1% + 1e-3 at pack time so bf16
+        truncation (<=0.4%) can never cull a true hit.
+        Control = miss_link | hit_link_or_leaf_off << 14 | leaf_cnt << 28.
+      prim table (7 rows/chunk): sphere cx, cy, cz, cdx, cdy, cdz, r in
+        BVH leaf order (bvh_prims), full f32.
+      pmat table (15 rows/chunk): the resolved per-prim material rows in
+        the same leaf order (winner materials are gathered ONCE per bounce
+        after traversal).
+    """
+    u32 = jnp.uint32
+
+    def bc_u(x):
+        return jax.lax.bitcast_convert_type(x, u32)
+
+    def bc_f(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    def pack_pair(lo, hi):
+        eps = 1e-3 + 0.01 * jnp.maximum(jnp.abs(lo), jnp.abs(hi))
+        lo, hi = lo - eps, hi + eps
+        return bc_f((bc_u(hi) & u32(0xFFFF0000)) | (bc_u(lo) >> u32(16)))
+
+    cols = [pack_pair(flat.bvh_bbox_min[:, ax], flat.bvh_bbox_max[:, ax])
+            for ax in range(3)]
+    cnt = jnp.where(flat.bvh_leaf, flat.bvh_right, 0).astype(u32)
+    hof = jnp.where(flat.bvh_leaf, flat.bvh_left, flat.bvh_hit).astype(u32)
+    cols.append(bc_f(flat.bvh_miss.astype(u32)
+                     | (hof << u32(14)) | (cnt << u32(28))))
+    ntab = jnp.stack(cols)                                   # (4, B)
+    B = ntab.shape[1]
+    C_n = -(-B // 128)
+    ntab = jnp.pad(ntab, ((0, 0), (0, C_n * 128 - B))).reshape(4 * C_n, 128)
+
+    order = flat.bvh_prims
+    ptab = jnp.concatenate([
+        flat.sph_center[order], flat.sph_cdelta[order],
+        flat.sph_radius[order][:, None]], axis=1).T           # (7, P)
+    P = ptab.shape[1]
+    C_p = -(-P // 128)
+    ptab = jnp.pad(ptab, ((0, 0), (0, C_p * 128 - P))).reshape(7 * C_p, 128)
+    pmtab = primmatf[order].T                                 # (15, P)
+    pmtab = jnp.pad(pmtab,
+                    ((0, 0), (0, C_p * 128 - P))).reshape(15 * C_p, 128)
+    return ntab, ptab, pmtab, C_n, C_p, B, P
+
+
 def _pack_tables(flat: FlatScene):
     """Gather the FlatScene into kernel-ready SMEM tables (traced jnp ops)."""
     f32 = jnp.float32
@@ -470,7 +542,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  n_samples, sky_gradient, unroll_prims, n_clusters,
                  n_groups=0, grad_tex=False, bvh_mode=False, has_noise=False,
                  MQ=6, MS=1, tex_struct=None, hard_slots=(), light_src=(),
-                 want_tex=True):
+                 want_tex=True, lane_mode=False, C_n=1, C_p=1, B_n=1,
+                 P_n=1):
     """grad_tex=True builds the fused forward+backward variant: alongside the
     radiance image it accumulates d<g, radiance>/d(theta) for trainable scene
     parameters by exact forward-mode differentiation, in two tiers:
@@ -538,13 +611,13 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         if grad_tex:
             (g_ref, iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref,
              lightf_ref, mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
-             cgrp_ref, medf_ref, nodef_ref, nodei_ref, bprims_ref, out_ref,
-             dg_ref, stack_ref) = rest
+             cgrp_ref, medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref,
+             ptab_ref, pmtab_ref, out_ref, dg_ref, stack_ref) = rest
         else:
             (iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref, lightf_ref,
              mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref, cgrp_ref,
-             medf_ref, nodef_ref, nodei_ref, bprims_ref, out_ref,
-             stack_ref) = rest
+             medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref, ptab_ref,
+             pmtab_ref, out_ref, stack_ref) = rest
         pix = pix_ref[:]                                     # (R,128) int32
         seed = iscal_ref[0].astype(jnp.uint32)
         sample_start_f = iscal_ref[1].astype(jnp.float32)
@@ -960,6 +1033,163 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             return (hit, best_t, px, py, pz, nx * sgn, ny * sgn, nz * sgn,
                     front, mats)
 
+        # --------- closest hit, per-lane stackless skip-link BVH traversal
+        def closest_hit_lane(ox, oy, oz, dx, dy, dz, tm, alive):
+            """Every lane walks its OWN pointer chain through the skip-link
+            BVH (ops.bvh._skip_links) — no shared stack, no whole-tile
+            any-lane descent, per-lane best_t tightening — using Mosaic's
+            128-lane dynamic gathers for node/prim fetches (chunked over
+            ceil(N/128) register rows; see _pack_lane_tables). Leaf prims
+            drain one per step through a pending (off, cnt) pair so a step's
+            vector cost is one node fetch + one prim fetch regardless of
+            divergence. This is the TPU-native answer to the reference's
+            per-thread flattened traversal (BVHNode.cpp:385-446)."""
+            eps = 1e-12
+            idx = 1.0 / jnp.where(jnp.abs(dx) < eps,
+                                  jnp.where(dx < 0, -eps, eps), dx)
+            idy = 1.0 / jnp.where(jnp.abs(dy) < eps,
+                                  jnp.where(dy < 0, -eps, eps), dy)
+            idz = 1.0 / jnp.where(jnp.abs(dz) < eps,
+                                  jnp.where(dz < 0, -eps, eps), dz)
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+            izero = pix * 0
+
+            def gather_fields(ref, C, idx_pl, fields):
+                """Per-lane table lookups: out[k][lane] = table_k[idx[lane]]
+                via one dynamic gather + select per 128-entry chunk. The
+                (1, 128) chunk row is materialized to the lane-plane shape
+                through an INTEGER broadcast-add (bit-exact: several table
+                columns are bf16/bitfield packings whose f32 views may be
+                NaN patterns a float op could quietly rewrite)."""
+                hi = jax.lax.shift_right_logical(idx_pl, 7)
+                lo = idx_pl & 127
+                outs = [zero] * len(fields)
+                for c in range(C):
+                    m = hi == c
+                    for k, f in enumerate(fields):
+                        row = ref[f * C + c:f * C + c + 1, :]     # (1, 128)
+                        full = jax.lax.bitcast_convert_type(
+                            jax.lax.bitcast_convert_type(row, jnp.int32)
+                            + izero, jnp.float32)
+                        g = jnp.take_along_axis(full, lo, axis=1)
+                        outs[k] = jnp.where(m, g, outs[k])
+                return outs
+
+            def unpack_pair(p):
+                u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+                lo = jax.lax.bitcast_convert_type(u << jnp.uint32(16),
+                                                  jnp.float32)
+                hi = jax.lax.bitcast_convert_type(
+                    u & jnp.uint32(0xFFFF0000), jnp.float32)
+                return lo, hi
+
+            END = B_n
+            node0 = jnp.where(alive, izero, izero + END)
+            st0 = (node0, izero, izero, zero + BIG, izero - 1)
+
+            def step(st):
+                node, poff, pcnt, best_t, win = st
+                trav = (node < END) & (pcnt == 0)
+                nidx = jnp.minimum(node, END - 1)
+                bx, by, bz, ctrlf = gather_fields(ntab_ref, C_n, nidx,
+                                                  [0, 1, 2, 3])
+                x0, x1 = unpack_pair(bx)
+                y0, y1 = unpack_pair(by)
+                z0, z1 = unpack_pair(bz)
+                ctrl = jax.lax.bitcast_convert_type(ctrlf, jnp.uint32)
+                miss_l = (ctrl & jnp.uint32(0x3FFF)).astype(jnp.int32)
+                hof = ((ctrl >> jnp.uint32(14))
+                       & jnp.uint32(0x3FFF)).astype(jnp.int32)
+                cnt = (ctrl >> jnp.uint32(28)).astype(jnp.int32)
+                t0x = (x0 - ox) * idx
+                t1x = (x1 - ox) * idx
+                t0y = (y0 - oy) * idy
+                t1y = (y1 - oy) * idy
+                t0z = (z0 - oz) * idz
+                t1z = (z1 - oz) * idz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), T_MIN))
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+                hitbox = trav & (tn <= tf)
+                is_leaf = cnt > 0
+                take_leaf = hitbox & is_leaf
+                poff = jnp.where(take_leaf, hof, poff)
+                pcnt = jnp.where(take_leaf, cnt, pcnt)
+                node = jnp.where(trav,
+                                 jnp.where(hitbox & ~is_leaf, hof, miss_l),
+                                 node)
+
+                # one pending prim test per step (whole-tile skip when no
+                # lane holds pending prims)
+                def prim_test(args):
+                    poff, pcnt, best_t, win = args
+                    do_p = pcnt > 0
+                    pidx = jnp.minimum(poff, P_n - 1)
+                    (scx0, scy0, scz0, cdx, cdy, cdz,
+                     rad) = gather_fields(ptab_ref, C_p, pidx,
+                                          list(range(7)))
+                    scx = scx0 + tm * cdx
+                    scy = scy0 + tm * cdy
+                    scz = scz0 + tm * cdz
+                    ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
+                    h = _dot3(dx, dy, dz, ocx, ocy, ocz)
+                    c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+                    disc = h * h - a * c
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    r0 = (h - sq) * inv_a
+                    r1 = (h + sq) * inv_a
+                    in0 = (r0 > T_MIN) & (r0 < best_t)
+                    in1 = (r1 > T_MIN) & (r1 < best_t)
+                    t_p = jnp.where(in0, r0, r1)
+                    take = (do_p & (disc > 0.0) & (in0 | in1)
+                            & (rad > 0.0))
+                    best_t = jnp.where(take, t_p, best_t)
+                    win = jnp.where(take, pidx, win)
+                    dpi = do_p.astype(jnp.int32)
+                    return poff + dpi, pcnt - dpi, best_t, win
+
+                any_p = jnp.sum(jnp.where(pcnt > 0, 1.0, 0.0)) > 0.0
+                poff, pcnt, best_t, win = jax.lax.cond(
+                    any_p, prim_test, lambda x: x,
+                    (poff, pcnt, best_t, win))
+                return node, poff, pcnt, best_t, win
+
+            def w_cond(st):
+                node, poff, pcnt, best_t, win = st
+                act = (node < END) | (pcnt > 0)
+                return jnp.sum(jnp.where(act, 1.0, 0.0)) > 0.0
+
+            node, poff, pcnt, best_t, win = jax.lax.while_loop(
+                w_cond, step, st0)
+
+            hit = win >= 0
+            widx = jnp.maximum(win, 0)
+            (scx0, scy0, scz0, cdx, cdy, cdz, rad) = gather_fields(
+                ptab_ref, C_p, widx, list(range(7)))
+            scx = scx0 + tm * cdx
+            scy = scy0 + tm * cdy
+            scz = scz0 + tm * cdz
+            t_safe = jnp.where(hit, best_t, 1.0)
+            px = ox + t_safe * dx
+            py = oy + t_safe * dy
+            pz = oz + t_safe * dz
+            inv_r = 1.0 / jnp.maximum(rad, 1e-12)
+            nx = (px - scx) * inv_r
+            ny = (py - scy) * inv_r
+            nz = (pz - scz) * inv_r
+            mats = tuple(gather_fields(pmtab_ref, C_p, widx,
+                                       list(range(15))))
+            front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            return (hit, best_t, px, py, pz, nx * sgn, ny * sgn, nz * sgn,
+                    front, mats)
+
         # --------------------- checker/solid color from resolved tex planes
         def tex_eval_planes(is_chk_f, scale, cr, cg, cb, er, eg, eb,
                             o_r, o_g, o_b, is_noi_f, px, py, pz, turb):
@@ -1290,6 +1520,10 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 if unroll_prims:
                     (hit, best_t, px, py, pz, nx, ny, nz, front,
                      mat) = closest_hit(th_, ox, oy, oz, dx, dy, dz, tm)
+                elif lane_mode:
+                    (hit, best_t, px, py, pz, nx, ny, nz, front,
+                     mats) = closest_hit_lane(ox, oy, oz, dx, dy, dz, tm,
+                                              alive)
                 else:
                     (hit, best_t, px, py, pz, nx, ny, nz, front,
                      mats) = closest_hit_scan(ox, oy, oz, dx, dy, dz, tm,
@@ -1319,10 +1553,11 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                                          m].astype(jnp.int32),
                                 mat)
                     else:
+                        med_base = 0 if lane_mode else S + Q
                         for m in range(M):
                             sel = med_on & (med_row == float(m))
                             mats = tuple(
-                                jnp.where(sel, primmat_ref[c, S + Q + m],
+                                jnp.where(sel, primmat_ref[c, med_base + m],
                                           mats[c])
                                 for c in range(15))
 
@@ -1650,14 +1885,25 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         medf = medf[:1]                # unread; keep SMEM slim
         primmatf = primmatf[:S + Q]    # drop medium rows
     unroll = _use_unrolled(S, Q, int(mati.shape[0]), int(texf.shape[0]))
-    bvh_mode = bool(flat.use_bvh) and not unroll
+    # per-lane skip-link traversal: all-sphere BVH scenes whose node/prim
+    # ids fit the 14-bit control words (_pack_lane_tables); quad-bearing
+    # scenes take the shared-stack whole-tile traversal instead
+    lane_mode = (bool(flat.use_bvh) and not unroll and flat.n_quads == 0
+                 and flat.bvh_bbox_min.shape[0] <= LANE_BVH_MAX
+                 and flat.bvh_prims.shape[0] <= LANE_BVH_MAX)
+    bvh_mode = bool(flat.use_bvh) and not unroll and not lane_mode
     if rows_per_tile is None:
         # measured sweet spots (BASELINE.md): 32 rows for unrolled Cornell-
         # class scenes; 16 for prim-scan/BVH scenes, where smaller tiles make
-        # whole-tile cluster/node culling noticeably tighter
-        rows_per_tile = 32 if unroll else 16
+        # whole-tile cluster/node culling noticeably tighter; 8 for per-lane
+        # traversal (smaller tiles bound the per-tile max step count)
+        rows_per_tile = 32 if unroll else (8 if lane_mode else 16)
     csph = jnp.zeros((1, 6), jnp.float32)
     cgrp = jnp.zeros((1, 6), jnp.float32)
+    ntab = jnp.zeros((4, 128), jnp.float32)
+    ptab = jnp.zeros((7, 128), jnp.float32)
+    pmtab = jnp.zeros((15, 128), jnp.float32)
+    C_n = C_p = B_n = P_n = 1
     nodef = jnp.zeros((1, 6), jnp.float32)
     nodei = jnp.zeros((1, 5), jnp.int32)
     bprims = jnp.zeros((1,), jnp.int32)
@@ -1667,7 +1913,14 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         primmatf = primmatf[:1]        # scan tables unused; keep SMEM slim
     else:
         mati, matf, texf = mati[:1], matf[:1], texf[:1]
-        if bvh_mode:
+        if lane_mode:
+            ntab, ptab, pmtab, C_n, C_p, B_n, P_n = _pack_lane_tables(
+                flat, primmatf)
+            # per-lane tables replace the SMEM prim/material tables; keep
+            # only the medium override rows (appended after the prims)
+            sphf = sphf[:1]
+            primmatf = primmatf[S + Q:] if M else primmatf[:1]
+        elif bvh_mode:
             # flat SAH BVH built at compile time (ops.bvh.build_bvh); the
             # kernel traverses it with a shared SMEM stack
             nodef = jnp.concatenate([flat.bvh_bbox_min, flat.bvh_bbox_max],
@@ -1721,6 +1974,7 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         R=R, width=width, n_pix=n_pix, n_strata=n_strata,
         max_depth=max_depth, n_samples=n_samples, sky_gradient=sky_gradient,
         unroll_prims=unroll, n_clusters=n_clusters, n_groups=n_groups,
+        lane_mode=lane_mode, C_n=C_n, C_p=C_p, B_n=B_n, P_n=P_n,
         grad_tex=grad_tex,
         bvh_mode=bvh_mode, has_noise=flat.has_noise,
         MQ=int(flat.med_quad_corner.shape[1]),
@@ -1765,6 +2019,9 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                matf.T, texf.T, primmatf.T, csph.T, cgrp.T, medf.T, nodef.T,
                nodei.T, bprims]
     in_specs += [smem()] * 16
+    # per-lane-gather tables live in VMEM (gather operands), whole-array
+    inputs += [ntab, ptab, pmtab]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
     out = pl.pallas_call(
         kernel,

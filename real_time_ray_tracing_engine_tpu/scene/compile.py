@@ -315,6 +315,8 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
         bvh_leaf=jnp.asarray([True]),
         bvh_prims=_i32([0]),
         bvh_leaf_sph=_i32([0]),
+        bvh_hit=_i32([1]),
+        bvh_miss=_i32([1]),
         n_spheres=n_sph,
         n_quads=n_quad,
         n_lights=len(light_prims),

@@ -92,6 +92,14 @@ class FlatScene:
     # prims spheres-first, so kernel leaf tests run two cond-free typed loops
     # instead of a per-prim sphere-vs-quad lax.cond (VERDICT round-2 item 2)
     bvh_leaf_sph: jnp.ndarray = None   # (B,) int32
+    # stackless skip links (DFS order): hit = node to visit when this node's
+    # box is hit (left child; unused for leaves), miss = node to visit when
+    # missed / after a leaf (next sibling up the chain; B = end-of-walk).
+    # These drive the per-lane traversal kernel (ops/wavefront_pallas
+    # lane-BVH mode), where every lane walks its own pointer chain via
+    # 128-lane dynamic gathers — no stack, no whole-tile descent.
+    bvh_hit: jnp.ndarray = None        # (B,) int32
+    bvh_miss: jnp.ndarray = None       # (B,) int32
 
     # --- static metadata (compile-time constants)
     n_spheres: int = flax.struct.field(pytree_node=False, default=0)

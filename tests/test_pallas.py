@@ -203,6 +203,42 @@ def test_two_level_cluster_culling_matches_oracle(monkeypatch):
     _assert_close(img_p, img_j)
 
 
+def test_lane_bvh_mode_matches_oracle():
+    """Per-lane stackless skip-link BVH traversal (all-sphere use_bvh
+    scenes): every lane walks its own escape-pointer chain via 128-lane
+    dynamic gathers, with bf16-packed conservative boxes and one-prim-per-
+    step leaf draining (ops.wavefront_pallas.closest_hit_lane). Must match
+    the pure-JAX oracle exactly like every other kernel mode."""
+    rng = np.random.default_rng(11)
+    objs = []
+    for i in range(90):
+        c = tuple(map(float, rng.uniform(-5, 5, 3)))
+        albedo = tuple(map(float, rng.uniform(0.2, 0.9, 3)))
+        m = (rt.Lambertian(rt.SolidColor(albedo)) if i % 3
+             else rt.Metal(albedo, fuzz=0.2))
+        # a few movers exercise the motion-blur columns of the lane tables
+        c2 = (c[0], c[1] + 0.3, c[2]) if i % 7 == 0 else None
+        objs.append(rt.Sphere(c, 0.45, m, center2=c2))
+    light = rt.Sphere((0, 9, 0), 2.0,
+                      rt.DiffuseLight(rt.SolidColor((5, 5, 5))))
+    objs.append(light)
+    scene = rt.Scene(objects=objs, lights=[light],
+                     camera=rt.CameraConfig(
+                         image_width=48, aspect_ratio=1.0,
+                         samples_per_pixel=4, max_depth=4, vfov=45,
+                         lookfrom=(0, 2, 12), lookat=(0, 0, 0),
+                         background=(0.4, 0.5, 0.7)))
+    flat = compile_scene(scene, use_bvh=True)
+    assert flat.use_bvh and flat.n_quads == 0
+    from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import \
+        _use_unrolled
+    assert not _use_unrolled(flat.sph_center.shape[0],
+                             flat.quad_corner.shape[0],
+                             flat.mat_type.shape[0], flat.tex_type.shape[0])
+    img_p, img_j = _compare(scene, use_bvh=True)
+    _assert_close(img_p, img_j)
+
+
 def test_bouncing_spheres_supported():
     """The second reference driver scene (485 prims, ~460 materials,
     main.cpp:73-131) is inside the scan-mode gate."""
