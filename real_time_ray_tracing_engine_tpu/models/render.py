@@ -130,11 +130,18 @@ def pick_engine(flat: FlatScene, engine: str = "auto") -> str:
 def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
            seed: int = 0, use_bvh: bool = False, tile_rows: int | None = None,
            samples_per_batch: int = 4, spp: int | None = None,
-           progress=None, engine: str = "auto") -> jnp.ndarray:
+           progress=None, engine: str = "auto",
+           schedule: str = "auto") -> jnp.ndarray:
     """Render a full image; returns (H, W, 3) linear float32.
 
     Accepts either a schema Scene (compiled here) or a prebuilt FlatScene +
     explicit CameraConfig. engine: "auto" | "pallas" | "jax" (pick_engine).
+
+    schedule (pallas engine only): "auto" | "single" | "compacted".
+    "compacted" runs the two-phase capped + lane-compacted wavefront
+    (ops.wavefront_pallas.render_pass_pallas_compacted), which recovers the
+    straggler-lane idle tail at medium/high spp; "auto" picks it for
+    single-pass renders of >= 8 samples.
     """
     if isinstance(scene, Scene):
         cfg = cfg or scene.camera
@@ -152,7 +159,8 @@ def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
     tr = tile_rows or default_tile_rows(width, height, flat.n_prims)
     eng = pick_engine(flat, engine)
     if eng == "pallas":
-        from ..ops.wavefront_pallas import render_pass_pallas
+        from ..ops.wavefront_pallas import (render_pass_pallas,
+                                            render_pass_pallas_compacted)
         import jax as _jax
         interp = _jax.default_backend() == "cpu"
         # lane regeneration amortizes dead-lane waste across samples: the
@@ -165,8 +173,15 @@ def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
     while s < total:
         k = min(samples_per_batch, total - s)
         if eng == "pallas":
+            # auto: compacted only where the idle tail costs real time —
+            # compiled TPU runs at medium/high spp (interpret mode keeps the
+            # single pass: one kernel, half the compile, same image)
+            compacted = (schedule == "compacted"
+                         or (schedule == "auto" and k >= 8 and not interp))
+            pass_fn = (render_pass_pallas_compacted if compacted
+                       else render_pass_pallas)
             try:
-                acc = acc + render_pass_pallas(
+                acc = acc + pass_fn(
                     flat, cam, seed, s, width=width, height=height,
                     n_strata=n_strata, max_depth=cfg.max_depth, n_samples=k,
                     sky_gradient=cfg.sky_gradient, interpret=interp)

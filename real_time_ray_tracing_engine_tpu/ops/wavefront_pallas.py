@@ -128,7 +128,7 @@ def _smem_table_bytes(flat: FlatScene) -> int:
     return (t(8, pad_s) + t(18, Q) + t(1, P + M)
             + t(25, max(flat.n_lights, 1))
             + t(2, n_mt) * 2 + t(14, n_tex)
-            + t(15, n_primmat)                  # resolved per-prim rows
+            + t(PMCOLS, n_primmat)              # resolved per-prim rows
             + t(6, n_clu) + t(6, n_grp)         # cluster + group boxes
             + t(3 + 4 * MS + 17 * MQ, max(M, 1))
             + t(6, B) + t(5, B) + t(1, P)       # BVH nodes + leaf order
@@ -136,6 +136,7 @@ def _smem_table_bytes(flat: FlatScene) -> int:
 MAX_LIGHTS = 32
 MAX_MATS = 16           # unrolled masked-select material gather bound
 MAX_TEXS = 16
+PMCOLS = 18        # resolved per-prim row width (_pack_tables.resolved_rows)
 MAX_MEDIUMS = 4         # unrolled constant-medium free-flight bound
 CLUSTER = 16            # prims per culling cluster in scan mode
 GROUP = 16              # clusters per second-level culling group
@@ -252,13 +253,14 @@ def supports_pallas(flat: FlatScene) -> bool:
 
 
 def pallas_grad_gate_reason(flat: FlatScene) -> str | None:
-    """Why scene-parameter gradients cannot run fused in-kernel (None = they
-    can).
+    """Why FULL-family scene-parameter gradients cannot run fused in-kernel
+    (None = they can).
 
-    The grad kernel variants (tex_color weight planes + hard-parameter
-    tangent bundles, see _make_kernel) cover unrolled-mode scenes (Cornell
-    class), including constant mediums; scan/BVH scenes get the pure-JAX
-    replay backward (parallel.train.make_kernel_render)."""
+    The full grad kernel (tex_color weight planes + hard-parameter tangent
+    bundles, see _make_kernel) covers unrolled-mode scenes (Cornell class),
+    including constant mediums. Scan/BVH scenes can still run the tex_color-
+    only fused backward (pallas_scan_grad_gate_reason); everything else gets
+    the pure-JAX replay backward (parallel.train.make_kernel_render)."""
     r = pallas_gate_reason(flat)
     if r is not None:
         return r
@@ -268,12 +270,33 @@ def pallas_grad_gate_reason(flat: FlatScene) -> str | None:
                          flat.tex_type.shape[0]):
         return (f"{S + Q} prims / {flat.mat_type.shape[0]} materials / "
                 f"{flat.tex_type.shape[0]} textures exceeds the unrolled "
-                "kernel bounds (scan mode has no fused backward)")
+                "kernel bounds (scan mode fuses tex_color only)")
     return None
 
 
 def supports_pallas_grad(flat: FlatScene) -> bool:
     return pallas_grad_gate_reason(flat) is None
+
+
+# tex_color weight/cotangent planes cost 6 VMEM lane-planes per texture row
+# (~48 KiB/row at R=16); cap the scan-mode fused backward where the carry
+# still fits comfortably alongside the wavefront state
+MAX_GRAD_TEXS = 32
+
+
+def pallas_scan_grad_gate_reason(flat: FlatScene) -> str | None:
+    """Why the tex_color-ONLY fused backward cannot run on this scene
+    (None = it can — any kernel mode, incl. scan/BVH/lane). Hard-parameter
+    families (fuzz/IOR/geometry) additionally need unrolled mode; callers
+    check their requested slots separately (parallel.train)."""
+    r = pallas_gate_reason(flat)
+    if r is not None:
+        return r
+    NT = flat.tex_color.shape[0]
+    if NT > MAX_GRAD_TEXS:
+        return (f"{NT} texture rows exceed MAX_GRAD_TEXS={MAX_GRAD_TEXS} "
+                "in-kernel weight planes (replay backward)")
+    return None
 
 
 # trainable-field <-> hard-slot mapping shared with parallel/train.py
@@ -405,7 +428,7 @@ def _pack_lane_tables(flat: FlatScene, primmatf):
         Control = miss_link | hit_link_or_leaf_off << 14 | leaf_cnt << 28.
       prim table (7 rows/chunk): sphere cx, cy, cz, cdx, cdy, cdz, r in
         BVH leaf order (bvh_prims), full f32.
-      pmat table (15 rows/chunk): the resolved per-prim material rows in
+      pmat table (PMCOLS rows/chunk): the resolved per-prim material rows in
         the same leaf order (winner materials are gathered ONCE per bounce
         after traversal).
     """
@@ -440,9 +463,9 @@ def _pack_lane_tables(flat: FlatScene, primmatf):
     P = ptab.shape[1]
     C_p = -(-P // 128)
     ptab = jnp.pad(ptab, ((0, 0), (0, C_p * 128 - P))).reshape(7 * C_p, 128)
-    pmtab = primmatf[order].T                                 # (15, P)
-    pmtab = jnp.pad(pmtab,
-                    ((0, 0), (0, C_p * 128 - P))).reshape(15 * C_p, 128)
+    pmtab = primmatf[order].T                            # (PMCOLS, P)
+    pmtab = jnp.pad(pmtab, ((0, 0), (0, C_p * 128 - P))).reshape(
+        PMCOLS * C_p, 128)
     return ntab, ptab, pmtab, C_n, C_p, B, P
 
 
@@ -495,7 +518,10 @@ def _pack_tables(flat: FlatScene):
     # vector units cannot gather by per-lane index, so scan mode reads one
     # fully-resolved scalar row per prim instead of indexing three tables.
     # Medium (isotropic phase) rows are appended after the quads so the
-    # scan-mode medium override can gather row S+Q+m.
+    # scan-mode medium override can gather row S+Q+m. Cols 15-17 carry the
+    # texture ROW IDS (own / checker-even child / checker-odd child) so the
+    # scan-mode grad_tex kernel can route d(attenuation)/d(tex_color) to the
+    # owning table row (the scan analogue of texture_color's eff output).
     def resolved_rows(mt):
         return jnp.concatenate([
             flat.mat_type[mt].astype(f32)[:, None],            # 0 type
@@ -507,10 +533,15 @@ def _pack_tables(flat: FlatScene):
             even_c[flat.mat_tex[mt]],                          # 8-10 even
             odd_c[flat.mat_tex[mt]],                           # 11-13 odd
             is_noi[flat.mat_tex[mt]][:, None],                 # 14 is_noise
+            flat.mat_tex[mt].astype(f32)[:, None],             # 15 tex row
+            flat.tex_child_even[flat.mat_tex[mt]]
+                .astype(f32)[:, None],                         # 16 even row
+            flat.tex_child_odd[flat.mat_tex[mt]]
+                .astype(f32)[:, None],                         # 17 odd row
         ], axis=1)
     primmatf = jnp.concatenate(
         [resolved_rows(prim_mat), resolved_rows(flat.med_mat)])
-    # (S+Q+M, 15)
+    # (S+Q+M, PMCOLS)
 
     # constant-medium boundary rows (ConstantMedium.cpp:25-96): density,
     # active, MS sphere boundaries (4 cols each: center, radius), MQ quad
@@ -543,7 +574,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  n_groups=0, grad_tex=False, bvh_mode=False, has_noise=False,
                  MQ=6, MS=1, tex_struct=None, hard_slots=(), light_src=(),
                  want_tex=True, lane_mode=False, C_n=1, C_p=1, B_n=1,
-                 P_n=1):
+                 P_n=1, cap=0, resume=False, NT_g=None):
     """grad_tex=True builds the fused forward+backward variant: alongside the
     radiance image it accumulates d<g, radiance>/d(theta) for trainable scene
     parameters by exact forward-mode differentiation, in two tiers:
@@ -578,9 +609,18 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
     in C++/CUDA). Unrolled-prim scenes only."""
     n_prims = S + Q
     K = len(hard_slots)
+    if NT_g is None:
+        NT_g = NT
     if grad_tex:
-        assert unroll_prims, "grad kernel: unrolled scenes only"
-    n_wp = 3 * NT if (grad_tex and want_tex) else 0
+        # non-unrolled (scan/BVH/lane) modes support the tex_color weight-
+        # plane backward (eff row ids ride the resolved per-prim rows);
+        # hard-parameter tangent bundles need the static SMEM theta aliasing
+        # of the unrolled mode (sph_read/matf_read), so K > 0 gates there
+        assert unroll_prims or (want_tex and K == 0), \
+            "scan/BVH grad kernel: tex_color only"
+        assert not cap and not resume, \
+            "capped/compacted scheduling is forward-only"
+    n_wp = 3 * NT_g if (grad_tex and want_tex) else 0
 
     # static map (table, row, col) -> theta slot index for the SMEM-read
     # helpers below; sphere-light rows alias their source sphere's slots
@@ -608,16 +648,23 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             theta_map[("light", l, 7)] = k
 
     def kernel(pix_ref, fi_ref, fj_ref, *rest):
+        stin_ref = stout_ref = None
         if grad_tex:
             (g_ref, iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref,
              lightf_ref, mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
              cgrp_ref, medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref,
              ptab_ref, pmtab_ref, out_ref, dg_ref, stack_ref) = rest
         else:
+            if resume:
+                stin_ref, rest = rest[0], rest[1:]
             (iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref, lightf_ref,
              mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref, cgrp_ref,
              medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref, ptab_ref,
-             pmtab_ref, out_ref, stack_ref) = rest
+             pmtab_ref) = rest[:19]
+            if cap:
+                out_ref, stout_ref, stack_ref = rest[19:]
+            else:
+                out_ref, stack_ref = rest[19:]
         pix = pix_ref[:]                                     # (R,128) int32
         seed = iscal_ref[0].astype(jnp.uint32)
         sample_start_f = iscal_ref[1].astype(jnp.float32)
@@ -763,7 +810,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             def gather_mat(p, take, mats):
                 return tuple(
                     jnp.where(take, primmat_ref[c, p], mats[c])
-                    for c in range(15))
+                    for c in range(PMCOLS))
 
             def sph_body(p, cr):
                 best_t, nx, ny, nz, mats = cr
@@ -820,7 +867,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 nz = jnp.where(take, qnz + zero, nz)
                 return best_t, nx, ny, nz, gather_mat(S + q, take, mats)
 
-            mats0 = tuple(zero for _ in range(15))
+            mats0 = tuple(zero for _ in range(PMCOLS))
             cr = (zero + BIG, zero, zero, zero, mats0)
             if bvh_mode:
                 # -------- shared-stack flat-BVH traversal (the TPU form of
@@ -984,7 +1031,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                     def gather(c):
                         bt, gnx, gny, gnz, mats = c
                         new = []
-                        for ci in range(15):
+                        for ci in range(PMCOLS):
                             v = mats[ci]
                             for j in range(CLUSTER):
                                 v = jnp.where(jwin == float(j),
@@ -1058,23 +1105,27 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             def gather_fields(ref, C, idx_pl, fields):
                 """Per-lane table lookups: out[k][lane] = table_k[idx[lane]]
                 via one dynamic gather + select per 128-entry chunk. The
-                (1, 128) chunk row is materialized to the lane-plane shape
-                through an INTEGER broadcast-add (bit-exact: several table
-                columns are bf16/bitfield packings whose f32 views may be
-                NaN patterns a float op could quietly rewrite)."""
+                whole pipeline — broadcast-materialize, gather, select —
+                runs on INT32 views, bitcast back to f32 only at the end:
+                several table columns are bf16/bitfield packings whose f32
+                views may be NaN/denormal patterns, and a float-typed
+                vector op (hardware gathers canonicalize NaN payloads,
+                FTZ units flush denormals) could quietly rewrite the bits
+                that interpret mode preserves — corrupting skip links into
+                pointer cycles that hang the chip."""
                 hi = jax.lax.shift_right_logical(idx_pl, 7)
                 lo = idx_pl & 127
-                outs = [zero] * len(fields)
+                outs = [izero] * len(fields)
                 for c in range(C):
                     m = hi == c
                     for k, f in enumerate(fields):
                         row = ref[f * C + c:f * C + c + 1, :]     # (1, 128)
                         full = jax.lax.bitcast_convert_type(
-                            jax.lax.bitcast_convert_type(row, jnp.int32)
-                            + izero, jnp.float32)
+                            row, jnp.int32) + izero
                         g = jnp.take_along_axis(full, lo, axis=1)
                         outs[k] = jnp.where(m, g, outs[k])
-                return outs
+                return [jax.lax.bitcast_convert_type(o, jnp.float32)
+                        for o in outs]
 
             def unpack_pair(p):
                 u = jax.lax.bitcast_convert_type(p, jnp.uint32)
@@ -1184,7 +1235,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             ny = (py - scy) * inv_r
             nz = (pz - scz) * inv_r
             mats = tuple(gather_fields(pmtab_ref, C_p, widx,
-                                       list(range(15))))
+                                       list(range(PMCOLS))))
             front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
             return (hit, best_t, px, py, pz, nx * sgn, ny * sgn, nz * sgn,
@@ -1192,7 +1243,12 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 
         # --------------------- checker/solid color from resolved tex planes
         def tex_eval_planes(is_chk_f, scale, cr, cg, cb, er, eg, eb,
-                            o_r, o_g, o_b, is_noi_f, px, py, pz, turb):
+                            o_r, o_g, o_b, is_noi_f, row_own, row_even,
+                            row_odd, px, py, pz, turb):
+            """Color planes + the EFFECTIVE texture row id (the row whose
+            tex_color the result reads: parity-selected checker child, the
+            row itself for solids, -1 for noise) — scan/BVH/lane-mode
+            analogue of texture_color's eff output for grad routing."""
             inv = 1.0 / jnp.maximum(scale, 1e-12)
             fx = jnp.floor(inv * px).astype(jnp.int32)
             fy = jnp.floor(inv * py).astype(jnp.int32)
@@ -1202,6 +1258,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             tr = jnp.where(chk, jnp.where(even, er, o_r), cr)
             tg = jnp.where(chk, jnp.where(even, eg, o_g), cg)
             tb = jnp.where(chk, jnp.where(even, eb, o_b), cb)
+            eff = jnp.where(chk, jnp.where(even, row_even, row_odd), row_own)
             if turb is not None:
                 # marble: grayscale 0.5*(1+sin(scale*z + 10*turb))
                 # (NoiseTexture.cpp:8-33); turb is row-independent
@@ -1210,7 +1267,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 tr = jnp.where(noi, marble, tr)
                 tg = jnp.where(noi, marble, tg)
                 tb = jnp.where(noi, marble, tb)
-            return tr, tg, tb
+                eff = jnp.where(noi, -1.0, eff)
+            return tr, tg, tb, eff
 
         # ----------------------------- texture color at (point, tex index)
         def texture_color(tex, px, py, pz, turb):
@@ -1559,7 +1617,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                             mats = tuple(
                                 jnp.where(sel, primmat_ref[c, med_base + m],
                                           mats[c])
-                                for c in range(15))
+                                for c in range(PMCOLS))
 
                 # hash-noise turbulence at the hit point, shared by every
                 # noise texture row this bounce (the marble phase is the only
@@ -1602,9 +1660,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 else:
                     mtype_f, fuzz, ior = mats[0], mats[1], mats[2]
                     ior = jnp.where(ior == 0.0, 1.0, ior)  # padded rows
-                    tr, tg, tb = tex_eval_planes(*mats[3:14], mats[14],
-                                                 px, py, pz, turb)
-                    eff_tex = zero - 1.0
+                    tr, tg, tb, eff_tex = tex_eval_planes(
+                        *mats[3:18], px, py, pz, turb)
                     is_light = mtype_f == float(MAT_DIFFUSE_LIGHT)
                     is_metal = mtype_f == float(MAT_METAL)
                     is_diel = mtype_f == float(MAT_DIELECTRIC)
@@ -1769,7 +1826,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                           (1.0 - a_sky) + a_sky * 1.0)
                 else:
                     sb = (bgx + zero, bgy + zero, bgz + zero)
-                for t in range(NT):
+                for t in range(NT_g):
                     ind = eff_tex == float(t)
                     for c in range(3):
                         Gp[3 * t + c] = Gp[3 * t + c] + jnp.where(
@@ -1782,7 +1839,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 # product rule through th <- th * at * factor; at is the
                 # eff_tex row's color for every family except dielectric
                 # (at=1 const), and factor never depends on tex_color
-                for t in range(NT):
+                for t in range(NT_g):
                     ind = (eff_tex == float(t)) & ~is_diel
                     for c in range(3):
                         w_new = (Wp[3 * t + c] * atc[c]
@@ -1806,30 +1863,59 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                    s_f, tm, jnp.where(work, zero + 1.0, zero))
             if grad_tex:
                 out = out + tuple(Wp) + tuple(Gp) + tuple(Dst) + tuple(dG)
+            if cap:
+                out = out + (st[-1] + 1,)
             return out
 
         # persistent-wavefront loop: run until every lane is dead AND has
-        # exhausted its samples
-        gox, goy, goz, gdx0, gdy0, gdz0, gtm = gen_ray(
-            sample_start_f + zero)
-        state = (gox, goy, goz, gdx0, gdy0, gdz0,
-                 zero + 1.0, zero + 1.0, zero + 1.0,   # throughput
-                 zero, zero, zero,                      # radiance
-                 zero + 1.0,                            # alive mask (f32)
-                 zero,                                  # bounce count
-                 zero,                                  # local sample idx
-                 gtm,                                   # ray time
-                 zero + 1.0)                            # work-left mask
+        # exhausted its samples (capped mode: or until `cap` bounce
+        # iterations, leaving the carry state for a compacted resume pass)
+        if resume:
+            state = (stin_ref[5], stin_ref[6], stin_ref[7],      # origin
+                     stin_ref[8], stin_ref[9], stin_ref[10],     # direction
+                     stin_ref[11], stin_ref[12], stin_ref[13],   # throughput
+                     zero, zero, zero,                           # radiance
+                     stin_ref[1],                                # alive
+                     stin_ref[2],                                # bounce
+                     stin_ref[3],                                # sample idx
+                     stin_ref[4],                                # ray time
+                     stin_ref[0])                                # work-left
+        else:
+            gox, goy, goz, gdx0, gdy0, gdz0, gtm = gen_ray(
+                sample_start_f + zero)
+            state = (gox, goy, goz, gdx0, gdy0, gdz0,
+                     zero + 1.0, zero + 1.0, zero + 1.0,   # throughput
+                     zero, zero, zero,                      # radiance
+                     zero + 1.0,                            # alive mask (f32)
+                     zero,                                  # bounce count
+                     zero,                                  # local sample idx
+                     gtm,                                   # ray time
+                     zero + 1.0)                            # work-left mask
         if grad_tex:
             state = state + tuple(zero for _ in range(2 * n_wp + 10 * K))
+        if cap:
+            state = state + (jnp.int32(0),)
 
         def w_cond(st):
-            return jnp.sum(st[16]) > 0.0
+            more = jnp.sum(st[16]) > 0.0
+            return (more & (st[-1] < cap)) if cap else more
 
         out = jax.lax.while_loop(w_cond, bounce, state)
         out_ref[0] = out[9]
         out_ref[1] = out[10]
         out_ref[2] = out[11]
+        if cap:
+            # carry state for the compacted resume pass (wrapper layout:
+            # work, alive, bounce, sample, time, o, d, th — 14 planes)
+            stout_ref[0] = out[16]
+            stout_ref[1] = out[12]
+            stout_ref[2] = out[13]
+            stout_ref[3] = out[14]
+            stout_ref[4] = out[15]
+            for c in range(3):
+                stout_ref[5 + c] = out[0 + c]
+                stout_ref[8 + c] = out[3 + c]
+                stout_ref[11 + c] = out[6 + c]
         if grad_tex:
             # per-tile partial gradient rows (tex cotangents then hard
             # cotangents): reduce the lane planes over sublanes here, leave
@@ -1847,7 +1933,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
     jax.jit,
     static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
                      "sky_gradient", "rows_per_tile", "interpret",
-                     "hard_slots", "light_src", "want_tex"))
+                     "hard_slots", "light_src", "want_tex", "cap"))
 def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                        width: int, height: int, n_strata: int,
                        max_depth: int, n_samples: int,
@@ -1855,7 +1941,8 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                        rows_per_tile: int | None = None,
                        interpret: bool = False, row0=0, cotangent=None,
                        hard_slots: tuple = (), light_src: tuple = (),
-                       want_tex: bool = True):
+                       want_tex: bool = True, cap: int = 0, carry=None,
+                       pix_lanes=None):
     """Sum of n_samples stratified samples, (height, width, 3) — fused kernel.
 
     Drop-in replacement for models.render._render_pass (same RNG streams,
@@ -1873,6 +1960,21 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     light_src are STATIC descriptors computed at bake time by
     hard_param_slots / light_sphere_sources. Unrolled-mode scenes only (use
     supports_pallas_grad to gate).
+
+    Capped/compacted scheduling (render_pass_pallas_compacted drives this;
+    forward-only):
+      cap > 0: stop the wavefront loop after `cap` bounce iterations and
+        return raw lane-major planes instead of an image —
+        (radiance (3, n_lanes), carry state (14, n_lanes)) with state rows
+        [work, alive, bounce, sample, time, o xyz, d xyz, th xyz].
+      carry ((14, n_lanes)): resume from that carried state instead of
+        generating fresh camera rays (sample_start must match the capped
+        pass so RNG streams line up).
+      pix_lanes ((n_lanes,) int32 absolute pixel ids): explicit lane->pixel
+        assignment (a compaction permutation of the identity layout);
+        returns raw radiance planes so the caller can invert the
+        permutation. n_lanes must equal n_tiles*rows_per_tile*128 of the
+        identity layout.
     """
     S = flat.sph_center.shape[0]
     Q = flat.quad_corner.shape[0]
@@ -1902,7 +2004,7 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     cgrp = jnp.zeros((1, 6), jnp.float32)
     ntab = jnp.zeros((4, 128), jnp.float32)
     ptab = jnp.zeros((7, 128), jnp.float32)
-    pmtab = jnp.zeros((15, 128), jnp.float32)
+    pmtab = jnp.zeros((PMCOLS, 128), jnp.float32)
     C_n = C_p = B_n = P_n = 1
     nodef = jnp.zeros((1, 6), jnp.float32)
     nodei = jnp.zeros((1, 5), jnp.int32)
@@ -1945,14 +2047,25 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     lane = 128
     rays_per_tile = R * lane
     n_tiles = -(-n_pix // rays_per_tile)
-    base = jnp.minimum(
-        jnp.arange(n_tiles * rays_per_tile, dtype=jnp.int32), n_pix - 1)
-    row0 = jnp.asarray(row0, jnp.int32)
-    pix_flat = base + row0 * width
-    pix = pix_flat.reshape(n_tiles * R, lane)
-    fi = (base % width).astype(jnp.float32).reshape(n_tiles * R, lane)
-    fj = ((base // width).astype(jnp.float32)
-          + row0.astype(jnp.float32)).reshape(n_tiles * R, lane)
+    if pix_lanes is not None:
+        # compacted resume layout: absolute pixel ids per lane (already
+        # include any row0 offset — the fi/fj derivation below inverts the
+        # same pix = i + j*width encoding the identity layout uses)
+        pix_flat = pix_lanes.astype(jnp.int32)
+        pix = pix_flat.reshape(n_tiles * R, lane)
+        fi = (pix_flat % width).astype(jnp.float32).reshape(n_tiles * R,
+                                                            lane)
+        fj = (pix_flat // width).astype(jnp.float32).reshape(n_tiles * R,
+                                                             lane)
+    else:
+        base = jnp.minimum(
+            jnp.arange(n_tiles * rays_per_tile, dtype=jnp.int32), n_pix - 1)
+        row0 = jnp.asarray(row0, jnp.int32)
+        pix_flat = base + row0 * width
+        pix = pix_flat.reshape(n_tiles * R, lane)
+        fi = (base % width).astype(jnp.float32).reshape(n_tiles * R, lane)
+        fj = ((base // width).astype(jnp.float32)
+              + row0.astype(jnp.float32)).reshape(n_tiles * R, lane)
 
     iscal = jnp.stack([jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
                        jnp.asarray(sample_start, jnp.int32),
@@ -1965,8 +2078,9 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
 
     grad_tex = cotangent is not None
     NT_k = int(texf.shape[0])
-    K = len(hard_slots)
-    n_wp = 3 * NT_k if (grad_tex and want_tex) else 0
+    NT_g = int(flat.tex_color.shape[0])    # weight planes span the FULL
+    K = len(hard_slots)                    # texture table (scan slims texf)
+    n_wp = 3 * NT_g if (grad_tex and want_tex) else 0
     if grad_tex:
         assert n_wp + K > 0, "cotangent given but no gradient target"
     kernel = _make_kernel(
@@ -1982,16 +2096,27 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         tex_struct=(flat.tex_struct[:NT_k] if flat.tex_struct
                     else ((TEX_SOLID, 0, 0),) * NT_k),
         hard_slots=hard_slots, light_src=light_src[:max(L, 1)],
-        want_tex=want_tex)
+        want_tex=want_tex, cap=cap, resume=carry is not None, NT_g=NT_g)
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [tile_spec(), tile_spec(), tile_spec()]
     inputs = [pix, fi, fj]
+    if carry is not None:
+        inputs.append(carry.reshape(14, n_tiles * R, lane))
+        in_specs.append(pl.BlockSpec((14, R, lane), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
     out_specs = pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((3, n_tiles * R, lane), jnp.float32)
+    if cap:
+        out_specs = [out_specs,
+                     pl.BlockSpec((14, R, lane), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((14, n_tiles * R, lane),
+                                          jnp.float32)]
     if grad_tex:
         # cotangent planes in the lane layout of the output; pad lanes get
         # zero so the duplicated trailing pixel cannot double-count
@@ -2036,9 +2161,91 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     if grad_tex:
         out, dg = out
         summed = dg.sum(axis=(0, 2))                   # (n_wp + K,)
-        dg_tex = (summed[:n_wp].reshape(NT_k, 3) if want_tex
-                  else jnp.zeros((NT_k, 3), jnp.float32))
+        dg_tex = (summed[:n_wp].reshape(NT_g, 3) if want_tex
+                  else jnp.zeros((NT_g, 3), jnp.float32))
         dg_hard = summed[n_wp:]
+    if cap:
+        out, st = out
+        return (out.reshape(3, n_tiles * rays_per_tile),
+                st.reshape(14, n_tiles * rays_per_tile))
+    if pix_lanes is not None:
+        return out.reshape(3, n_tiles * rays_per_tile)
     img = out.reshape(3, n_tiles * rays_per_tile)[:, :n_pix]
     img = jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
     return (img, dg_tex, dg_hard) if grad_tex else img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
+                     "sky_gradient", "rows_per_tile", "interpret", "cap"))
+def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
+                                 width: int, height: int, n_strata: int,
+                                 max_depth: int, n_samples: int,
+                                 sky_gradient: bool = False,
+                                 rows_per_tile: int | None = None,
+                                 interpret: bool = False, row0=0,
+                                 cap: int = 0):
+    """Two-phase capped + compacted wavefront schedule (forward renders).
+
+    The single-pass megakernel spins each tile until its SLOWEST lane
+    exhausts n_samples paths; measured lane occupancy is only ~26-36% at
+    spp16 because per-sample path-length variance leaves most lanes idle
+    behind a few stragglers (BASELINE.md, utils.profiling). This wrapper
+    recovers a large part of that tail:
+
+      phase 1: run the normal persistent wavefront, but stop every tile
+        after `cap` bounce iterations (cap ~ the mean per-lane total work,
+        where the idle fraction starts to dominate) and spill each lane's
+        carry state (14 planes) to HBM.
+      compact: argsort lanes by remaining-work key (unfinished lanes first,
+        most-remaining-samples first — remaining count is the only part of
+        the leftover that is KNOWN; sorting by a sampled work estimate is
+        measurably worse than identity, see BASELINE.md round-3 notes).
+      phase 2: resume the carried states under the sorted lane->pixel
+        permutation. Finished lanes pack into trailing tiles whose
+        wavefront loop exits on the first iteration, so the straggler work
+        concentrates in a few dense leading tiles instead of stalling every
+        tile. RNG keys are pixel-id-based, so the permutation cannot change
+        any sample stream, and radiance sums lane-sequentially exactly as
+        in the single pass.
+
+    Exact schedule replay on oracle path lengths predicts 0.36 -> 0.57
+    utilization on Cornell 200px spp16 d50 (cap~104); the permutation and
+    the extra pass cost O(n_lanes) HBM traffic once.
+
+    cap=0 picks the heuristic max(6.5*n_samples, max_depth) — measured
+    optimum on v5e Cornell 600px spp16 d50: 75 -> 100 Mpaths/s at cap=104
+    vs 95-97 at 89/128 (BASELINE.md round 3). Returns the (height, width, 3)
+    radiance-sum image.
+    """
+    if rows_per_tile is None:
+        S = flat.sph_center.shape[0]
+        Q = flat.quad_corner.shape[0]
+        unroll = _use_unrolled(S, Q, flat.mat_type.shape[0],
+                               flat.tex_type.shape[0])
+        rows_per_tile = 32 if unroll else 16
+    if cap == 0:
+        cap = max(int(6.5 * n_samples), max_depth)
+    common = dict(width=width, height=height, n_strata=n_strata,
+                  max_depth=max_depth, n_samples=n_samples,
+                  sky_gradient=sky_gradient, rows_per_tile=rows_per_tile,
+                  interpret=interpret)
+    rad1, st = render_pass_pallas(flat, cam, seed, sample_start,
+                                  row0=row0, cap=cap, **common)
+    n_lanes = rad1.shape[1]
+    n_pix = width * height
+    base = jnp.minimum(jnp.arange(n_lanes, dtype=jnp.int32), n_pix - 1)
+    pix_abs = base + jnp.asarray(row0, jnp.int32) * width
+    # remaining-work key: unfinished lanes first, most remaining samples
+    # first (known part of the leftover); finished lanes sort to the end
+    work = st[0] > 0.5
+    key = jnp.where(work, n_samples - st[3], -1.0)
+    order = jnp.argsort(-key, stable=True)
+    rad2 = render_pass_pallas(flat, cam, seed, sample_start,
+                              pix_lanes=pix_abs[order],
+                              carry=st[:, order], **common)
+    inv = jnp.argsort(order)
+    rad = rad1 + rad2[:, inv]
+    img = rad[:, :n_pix]
+    return jnp.moveaxis(img, 0, -1).reshape(height, width, 3)

@@ -69,12 +69,14 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
     """
     from ..ops.wavefront_pallas import (render_pass_pallas,
                                         pallas_grad_gate_reason,
+                                        pallas_scan_grad_gate_reason,
                                         hard_param_slots,
                                         light_sphere_sources,
                                         HARD_SLOT_FIELDS)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     grad_reason = pallas_grad_gate_reason(baked)
+    scan_tex_reason = pallas_scan_grad_gate_reason(baked)
     light_src = light_sphere_sources(baked) if grad_reason is None else ()
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
@@ -109,14 +111,19 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
         # REQUESTED families so untrained parameters cost nothing.
         requested = set(params)
         want_tex = "tex_color" in requested
+        known = requested <= set(TRAINABLE_FIELDS)
         slots = (hard_param_slots(baked, requested - {"tex_color"})
-                 if grad_reason is None else ())
-        if (grad_reason is None and requested <= set(TRAINABLE_FIELDS)
-                and not (want_tex or slots)):
+                 if known else ())
+        # tex_color-only fused backward also runs on scan/BVH/lane scenes
+        # (weight planes + eff-row routing need no theta aliasing); hard
+        # slots need the unrolled kernel
+        fused_ok = known and (grad_reason is None
+                              or (not slots and scan_tex_reason is None))
+        if fused_ok and not (want_tex or slots):
             # nothing requested actually exists in this scene (e.g. fuzz
             # with no metals): the gradient is identically zero
             dp = {f: jnp.zeros_like(params[f]) for f in requested}
-        elif grad_reason is None and requested <= set(TRAINABLE_FIELDS):
+        elif fused_ok:
             _, dg_tex, dg_hard = render_pass_pallas(
                 set_params(baked, params), cam, seed_f,
                 s0_f.astype(jnp.int32), width=width, height=h_local,
@@ -136,8 +143,11 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
         else:
             if grad_reason is not None:
                 import sys
+                reason = (grad_reason if scan_tex_reason is not None
+                          else f"{grad_reason}; and hard-parameter slots "
+                          "were requested")
                 print("[INFO] fused kernel backward unavailable "
-                      f"({grad_reason}); using the pure-JAX replay backward",
+                      f"({reason}); using the pure-JAX replay backward",
                       file=sys.stderr)
             @jax.checkpoint
             def replay(p):

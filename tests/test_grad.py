@@ -422,3 +422,69 @@ def test_kernel_render_vjp_matches_jax_engine():
         np.testing.assert_allclose(
             np.asarray(outs["jax"][0][k]), np.asarray(outs["pallas"][0][k]),
             atol=3e-4, rtol=0, err_msg=f"param update mismatch for {k}")
+
+
+def test_scan_mode_fused_tex_grad_matches_kernel_fd():
+    """tex_color-only fused backward on a SCAN-mode scene (>64 prims, small
+    texture table): the weight-plane recurrence routes gradients through the
+    resolved per-prim rows' eff texture ids (cols 15-17, _pack_tables) —
+    validated against common-random-numbers central differences of the
+    kernel itself, like the unrolled-mode test above. Round-3 extension of
+    VERDICT round-2 item 1 (ROADMAP: grad_tex for scan/BVH-mode scenes)."""
+    from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (
+        render_pass_pallas, pallas_scan_grad_gate_reason,
+        pallas_grad_gate_reason)
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+
+    rng = np.random.default_rng(2)
+    mats = [rt.Lambertian(rt.SolidColor((.8, .3, .2))),
+            rt.Lambertian(rt.SolidColor((.2, .7, .4))),
+            rt.Lambertian(rt.Checker(0.8, rt.SolidColor((.9, .9, .1)),
+                                     rt.SolidColor((.1, .1, .8)))),
+            rt.Metal((.9, .8, .7), 0.2)]
+    objs = []
+    for i in range(80):          # > MAX_PRIMS_UNROLL -> scan mode
+        c = tuple(map(float, rng.uniform(-4, 4, 3)))
+        objs.append(rt.Sphere(c, 0.35, mats[i % len(mats)]))
+    objs.append(rt.Quad((-6, -6, -7), (12, 0, 0), (0, 12, 0),
+                        rt.DiffuseLight(rt.SolidColor((4., 4., 4.)))))
+    cam = rt.CameraConfig(aspect_ratio=1.0, image_width=16,
+                          samples_per_pixel=4, max_depth=3, vfov=60,
+                          lookfrom=(0, 0, 9), lookat=(0, 0, 0),
+                          background=(0.2, 0.25, 0.3))
+    scene = rt.Scene(objects=objs, lights=[], camera=cam, name="scan_grad")
+    flat = compile_scene(scene)
+    assert pallas_grad_gate_reason(flat) is not None      # not unrolled
+    assert pallas_scan_grad_gate_reason(flat) is None     # tex-only OK
+    camst = cam_mod.derive(cam)
+    w, h = cam_mod.image_size(cam)
+    seed = jnp.asarray(5, jnp.uint32)
+    kw = dict(width=w, height=h, n_strata=2, max_depth=3, n_samples=4,
+              interpret=True)
+    g = jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32)
+
+    img, dg, _ = render_pass_pallas(flat, camst, seed, 0, cotangent=g, **kw)
+    img0 = render_pass_pallas(flat, camst, seed, 0, **kw)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img0), atol=1e-6)
+
+    tc = np.asarray(flat.tex_color)
+    eps = 1e-3
+    checked = 0
+    for t in range(tc.shape[0]):
+        if abs(float(np.asarray(dg)[t, 0])) < 1e-4:
+            continue
+        p, m = tc.copy(), tc.copy()
+        p[t, 0] += eps
+        m[t, 0] -= eps
+        d = (np.asarray(render_pass_pallas(
+                 flat.replace(tex_color=jnp.asarray(p)), camst, seed, 0,
+                 **kw))
+             - np.asarray(render_pass_pallas(
+                 flat.replace(tex_color=jnp.asarray(m)), camst, seed, 0,
+                 **kw)))
+        fd = float((d * np.asarray(g)).sum() / (2 * eps))
+        np.testing.assert_allclose(float(np.asarray(dg)[t, 0]), fd,
+                                   rtol=5e-3, atol=1e-5,
+                                   err_msg=f"tex row {t}")
+        checked += 1
+    assert checked >= 3
