@@ -259,15 +259,22 @@ class ProgressiveRenderer:
         k = max(1, min(k, self.n_strata * self.n_strata
                        - self.samples_taken))
         if self.engine == "pallas":
-            from ..ops.wavefront_pallas import render_pass_pallas
+            from ..ops.wavefront_pallas import (render_pass_pallas,
+                                                render_pass_pallas_compacted)
             import jax as _jax
+            interp = _jax.default_backend() == "cpu"
+            # big adaptive steps benefit from the compacted schedule just
+            # like batch renders (see render()); small steps keep the
+            # single pass (one kernel launch, lower latency per frame)
+            pass_fn = (render_pass_pallas_compacted
+                       if k >= 8 and not interp else render_pass_pallas)
             try:
-                self.acc = self.acc + render_pass_pallas(
+                self.acc = self.acc + pass_fn(
                     self.flat, self.cam, self.seed, self.samples_taken,
                     width=self.width, height=self.height,
                     n_strata=self.n_strata, max_depth=self.cfg.max_depth,
                     n_samples=k, sky_gradient=self.cfg.sky_gradient,
-                    interpret=_jax.default_backend() == "cpu")
+                    interpret=interp)
                 self.samples_taken += k
                 return True
             except Exception as e:

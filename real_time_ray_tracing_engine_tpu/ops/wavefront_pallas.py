@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 import jax
@@ -104,7 +105,8 @@ def _smem_table_bytes(flat: FlatScene) -> int:
     MQ = flat.med_quad_corner.shape[1]
     MS = flat.med_sph_center.shape[1]
     unroll = _use_unrolled(S, Q, NM, NT)
-    lane = (flat.use_bvh and not unroll and flat.n_quads == 0
+    lane = (_lane_bvh_enabled() and flat.use_bvh and not unroll
+            and flat.n_quads == 0
             and B <= LANE_BVH_MAX and flat.bvh_prims.shape[0] <= LANE_BVH_MAX)
     # mirror the wrapper's table slimming: unrolled mode drops the resolved
     # per-prim rows; scan/bvh modes drop the mat/tex tables (the resolved
@@ -412,49 +414,51 @@ def _cluster_spheres(sphf, primmat_s):
 LANE_BVH_MAX = 16383    # node/prim ids must fit 14 bits of the control word
 
 
+def _lane_bvh_enabled() -> bool:
+    """Per-lane skip-link traversal is OPT-IN (RTX_LANE_BVH=1) until its
+    hardware fault is fixed: the kernel is oracle-validated in interpret
+    mode but crashes the TPU worker process on v5e (round-3 finding, see
+    BASELINE.md) — a misbehaving mode must never be the default path a
+    use_bvh scene silently lands on. Default: shared-stack traversal."""
+    import os
+    return os.environ.get("RTX_LANE_BVH", "0") == "1"
+
+
+NODE_FIELDS = 9         # x0 x1 y0 y1 z0 z1 miss hof cnt (lane node table)
+
+
 def _pack_lane_tables(flat: FlatScene, primmatf):
     """Chunked 128-lane tables for the per-lane skip-link BVH kernel.
 
     Per-lane traversal is possible on TPU because Mosaic supports dynamic
-    gathers WITHIN a 128-lane register row (jnp.take_along_axis axis=1 on a
-    (R, 128) operand): a lookup into an N-entry table costs ceil(N/128)
-    gather+select steps. Tables are therefore laid out as (fields *
-    chunks, 128) f32 in VMEM:
+    lookups WITHIN a 128-lane register row: a lookup into an N-entry table
+    costs ceil(N/128) per-chunk steps (take_along_axis gather, or a one-hot
+    MXU matmul — closest_hit_lane.gather_fields). Tables are laid out as
+    (fields * chunks, 128) f32 in VMEM:
 
-      node table (4 rows/chunk): 3 axis-packed boxes + 1 control word.
-        Boxes pack (min, max) per axis as two bf16s in one f32's bit
-        pattern — conservatively dilated by 1% + 1e-3 at pack time so bf16
-        truncation (<=0.4%) can never cull a true hit.
-        Control = miss_link | hit_link_or_leaf_off << 14 | leaf_cnt << 28.
+      node table (NODE_FIELDS rows/chunk): box min/max per axis (exact
+        f32) + miss link, hit-link-or-leaf-offset, leaf count as f32-exact
+        small integers (<= 16383 << 2^24, so every value is a REAL float —
+        no bit packings whose NaN/denormal patterns a float-typed gather or
+        matmul could canonicalize).
       prim table (7 rows/chunk): sphere cx, cy, cz, cdx, cdy, cdz, r in
         BVH leaf order (bvh_prims), full f32.
       pmat table (PMCOLS rows/chunk): the resolved per-prim material rows in
         the same leaf order (winner materials are gathered ONCE per bounce
         after traversal).
     """
-    u32 = jnp.uint32
-
-    def bc_u(x):
-        return jax.lax.bitcast_convert_type(x, u32)
-
-    def bc_f(x):
-        return jax.lax.bitcast_convert_type(x, jnp.float32)
-
-    def pack_pair(lo, hi):
-        eps = 1e-3 + 0.01 * jnp.maximum(jnp.abs(lo), jnp.abs(hi))
-        lo, hi = lo - eps, hi + eps
-        return bc_f((bc_u(hi) & u32(0xFFFF0000)) | (bc_u(lo) >> u32(16)))
-
-    cols = [pack_pair(flat.bvh_bbox_min[:, ax], flat.bvh_bbox_max[:, ax])
-            for ax in range(3)]
-    cnt = jnp.where(flat.bvh_leaf, flat.bvh_right, 0).astype(u32)
-    hof = jnp.where(flat.bvh_leaf, flat.bvh_left, flat.bvh_hit).astype(u32)
-    cols.append(bc_f(flat.bvh_miss.astype(u32)
-                     | (hof << u32(14)) | (cnt << u32(28))))
-    ntab = jnp.stack(cols)                                   # (4, B)
+    f32 = jnp.float32
+    cnt = jnp.where(flat.bvh_leaf, flat.bvh_right, 0)
+    hof = jnp.where(flat.bvh_leaf, flat.bvh_left, flat.bvh_hit)
+    cols = [flat.bvh_bbox_min[:, 0], flat.bvh_bbox_max[:, 0],
+            flat.bvh_bbox_min[:, 1], flat.bvh_bbox_max[:, 1],
+            flat.bvh_bbox_min[:, 2], flat.bvh_bbox_max[:, 2],
+            flat.bvh_miss.astype(f32), hof.astype(f32), cnt.astype(f32)]
+    ntab = jnp.stack(cols)                                   # (NF, B)
     B = ntab.shape[1]
     C_n = -(-B // 128)
-    ntab = jnp.pad(ntab, ((0, 0), (0, C_n * 128 - B))).reshape(4 * C_n, 128)
+    ntab = jnp.pad(ntab, ((0, 0), (0, C_n * 128 - B))).reshape(
+        NODE_FIELDS * C_n, 128)
 
     order = flat.bvh_prims
     ptab = jnp.concatenate([
@@ -574,7 +578,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  n_groups=0, grad_tex=False, bvh_mode=False, has_noise=False,
                  MQ=6, MS=1, tex_struct=None, hard_slots=(), light_src=(),
                  want_tex=True, lane_mode=False, C_n=1, C_p=1, B_n=1,
-                 P_n=1, cap=0, resume=False, NT_g=None):
+                 P_n=1, cap=0, resume=False, NT_g=None,
+                 lane_gather="take"):
     """grad_tex=True builds the fused forward+backward variant: alongside the
     radiance image it accumulates d<g, radiance>/d(theta) for trainable scene
     parameters by exact forward-mode differentiation, in two tiers:
@@ -1103,18 +1108,44 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             izero = pix * 0
 
             def gather_fields(ref, C, idx_pl, fields):
-                """Per-lane table lookups: out[k][lane] = table_k[idx[lane]]
-                via one dynamic gather + select per 128-entry chunk. The
-                whole pipeline — broadcast-materialize, gather, select —
-                runs on INT32 views, bitcast back to f32 only at the end:
-                several table columns are bf16/bitfield packings whose f32
-                views may be NaN/denormal patterns, and a float-typed
-                vector op (hardware gathers canonicalize NaN payloads,
-                FTZ units flush denormals) could quietly rewrite the bits
-                that interpret mode preserves — corrupting skip links into
-                pointer cycles that hang the chip."""
+                """Per-lane table lookups: out[k][lane] = table_k[idx[lane]].
+
+                Two statically-selected lowerings (RTX_LANE_GATHER):
+                  take — one take_along_axis gather + select per 128-entry
+                    chunk, on INT32 views (bit-exact by construction).
+                    FAULTS v5e when traced inside lax.while_loop (minimal
+                    repro, round 3): the standalone gather is fine, the
+                    same gather under a data-dependent while_loop crashes
+                    the TPU worker process — so this mode is only for
+                    experiments outside traversal loops.
+                  onehot — a one-hot MXU matmul per chunk: build the
+                    (lanes, 128) 0/1 indicator once from lo, mask by the
+                    chunk id, and contract against the chunk's (128, F)
+                    field block at Precision.HIGHEST. Exactly one indicator
+                    per row is nonzero and every table value is a REAL f32
+                    (see _pack_lane_tables), so value*1.0 accumulation is
+                    bit-exact; no vector-gather primitive is involved.
+                """
                 hi = jax.lax.shift_right_logical(idx_pl, 7)
                 lo = idx_pl & 127
+                if lane_gather == "onehot":
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (R, 128, 128), 2)
+                    ohlo = (lo[:, :, None] == iota).astype(jnp.float32)
+                    outs = [zero] * len(fields)
+                    for c in range(C):
+                        m = (hi == c).astype(jnp.float32)
+                        oh = (ohlo * m[:, :, None]).reshape(R * 128, 128)
+                        blk = jnp.stack(
+                            [ref[f * C + c] for f in fields], axis=1)
+                        res = jax.lax.dot_general(
+                            oh, blk, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+                        res = res.reshape(R, 128, len(fields))
+                        outs = [o + res[:, :, k]
+                                for k, o in enumerate(outs)]
+                    return outs
                 outs = [izero] * len(fields)
                 for c in range(C):
                     m = hi == c
@@ -1127,14 +1158,6 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 return [jax.lax.bitcast_convert_type(o, jnp.float32)
                         for o in outs]
 
-            def unpack_pair(p):
-                u = jax.lax.bitcast_convert_type(p, jnp.uint32)
-                lo = jax.lax.bitcast_convert_type(u << jnp.uint32(16),
-                                                  jnp.float32)
-                hi = jax.lax.bitcast_convert_type(
-                    u & jnp.uint32(0xFFFF0000), jnp.float32)
-                return lo, hi
-
             END = B_n
             node0 = jnp.where(alive, izero, izero + END)
             st0 = (node0, izero, izero, zero + BIG, izero - 1)
@@ -1143,16 +1166,11 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 node, poff, pcnt, best_t, win = st
                 trav = (node < END) & (pcnt == 0)
                 nidx = jnp.minimum(node, END - 1)
-                bx, by, bz, ctrlf = gather_fields(ntab_ref, C_n, nidx,
-                                                  [0, 1, 2, 3])
-                x0, x1 = unpack_pair(bx)
-                y0, y1 = unpack_pair(by)
-                z0, z1 = unpack_pair(bz)
-                ctrl = jax.lax.bitcast_convert_type(ctrlf, jnp.uint32)
-                miss_l = (ctrl & jnp.uint32(0x3FFF)).astype(jnp.int32)
-                hof = ((ctrl >> jnp.uint32(14))
-                       & jnp.uint32(0x3FFF)).astype(jnp.int32)
-                cnt = (ctrl >> jnp.uint32(28)).astype(jnp.int32)
+                (x0, x1, y0, y1, z0, z1, missf, hoff, cntf) = gather_fields(
+                    ntab_ref, C_n, nidx, list(range(NODE_FIELDS)))
+                miss_l = missf.astype(jnp.int32)
+                hof = hoff.astype(jnp.int32)
+                cnt = cntf.astype(jnp.int32)
                 t0x = (x0 - ox) * idx
                 t1x = (x1 - ox) * idx
                 t0y = (y0 - oy) * idy
@@ -1989,8 +2007,10 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     unroll = _use_unrolled(S, Q, int(mati.shape[0]), int(texf.shape[0]))
     # per-lane skip-link traversal: all-sphere BVH scenes whose node/prim
     # ids fit the 14-bit control words (_pack_lane_tables); quad-bearing
-    # scenes take the shared-stack whole-tile traversal instead
-    lane_mode = (bool(flat.use_bvh) and not unroll and flat.n_quads == 0
+    # scenes take the shared-stack whole-tile traversal instead. OPT-IN
+    # until the v5e worker-crash fault is fixed (_lane_bvh_enabled)
+    lane_mode = (_lane_bvh_enabled() and bool(flat.use_bvh) and not unroll
+                 and flat.n_quads == 0
                  and flat.bvh_bbox_min.shape[0] <= LANE_BVH_MAX
                  and flat.bvh_prims.shape[0] <= LANE_BVH_MAX)
     bvh_mode = bool(flat.use_bvh) and not unroll and not lane_mode
@@ -2096,7 +2116,8 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         tex_struct=(flat.tex_struct[:NT_k] if flat.tex_struct
                     else ((TEX_SOLID, 0, 0),) * NT_k),
         hard_slots=hard_slots, light_src=light_src[:max(L, 1)],
-        want_tex=want_tex, cap=cap, resume=carry is not None, NT_g=NT_g)
+        want_tex=want_tex, cap=cap, resume=carry is not None, NT_g=NT_g,
+        lane_gather=os.environ.get("RTX_LANE_GATHER", "onehot"))
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -2178,14 +2199,15 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
-                     "sky_gradient", "rows_per_tile", "interpret", "cap"))
+                     "sky_gradient", "rows_per_tile", "interpret", "cap",
+                     "phases"))
 def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
                                  width: int, height: int, n_strata: int,
                                  max_depth: int, n_samples: int,
                                  sky_gradient: bool = False,
                                  rows_per_tile: int | None = None,
                                  interpret: bool = False, row0=0,
-                                 cap: int = 0):
+                                 cap: int = 0, phases: int = 2):
     """Two-phase capped + compacted wavefront schedule (forward renders).
 
     The single-pass megakernel spins each tile until its SLOWEST lane
@@ -2227,25 +2249,44 @@ def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
         rows_per_tile = 32 if unroll else 16
     if cap == 0:
         cap = max(int(6.5 * n_samples), max_depth)
+    # capped phases then one uncapped finisher; the second cap at ~0.4x
+    # recovers another slice of the tail (exact replay: 0.57 -> 0.62
+    # utilization on Cornell spp16) before per-pass overhead dominates
+    caps = (cap,) if phases <= 2 else (
+        (cap,) + tuple(max(int(cap * 0.4 ** i), max_depth // 2)
+                       for i in range(1, phases - 1)))
     common = dict(width=width, height=height, n_strata=n_strata,
                   max_depth=max_depth, n_samples=n_samples,
                   sky_gradient=sky_gradient, rows_per_tile=rows_per_tile,
                   interpret=interpret)
-    rad1, st = render_pass_pallas(flat, cam, seed, sample_start,
-                                  row0=row0, cap=cap, **common)
-    n_lanes = rad1.shape[1]
     n_pix = width * height
-    base = jnp.minimum(jnp.arange(n_lanes, dtype=jnp.int32), n_pix - 1)
-    pix_abs = base + jnp.asarray(row0, jnp.int32) * width
-    # remaining-work key: unfinished lanes first, most remaining samples
-    # first (known part of the leftover); finished lanes sort to the end
-    work = st[0] > 0.5
-    key = jnp.where(work, n_samples - st[3], -1.0)
-    order = jnp.argsort(-key, stable=True)
-    rad2 = render_pass_pallas(flat, cam, seed, sample_start,
-                              pix_lanes=pix_abs[order],
-                              carry=st[:, order], **common)
-    inv = jnp.argsort(order)
-    rad = rad1 + rad2[:, inv]
+    rad = None
+    perm = None
+    st = None
+    for cap_i in caps:
+        if st is None:
+            r, st = render_pass_pallas(flat, cam, seed, sample_start,
+                                       row0=row0, cap=cap_i, **common)
+            n_lanes = r.shape[1]
+            base = jnp.minimum(jnp.arange(n_lanes, dtype=jnp.int32),
+                               n_pix - 1)
+            pix_abs = base + jnp.asarray(row0, jnp.int32) * width
+            perm = jnp.arange(n_lanes, dtype=jnp.int32)
+            rad = r
+        else:
+            r, st = render_pass_pallas(flat, cam, seed, sample_start,
+                                       pix_lanes=pix_abs[perm],
+                                       carry=st, cap=cap_i, **common)
+            rad = rad.at[:, perm].add(r)
+        # remaining-work key: unfinished lanes first, most remaining
+        # samples first (the KNOWN part of the leftover; see docstring) —
+        # finished lanes sort to the end, so their tiles exit immediately
+        key = jnp.where(st[0] > 0.5, n_samples - st[3], -1.0)
+        order = jnp.argsort(-key, stable=True)
+        perm = perm[order]
+        st = st[:, order]
+    r = render_pass_pallas(flat, cam, seed, sample_start,
+                           pix_lanes=pix_abs[perm], carry=st, **common)
+    rad = rad.at[:, perm].add(r)
     img = rad[:, :n_pix]
     return jnp.moveaxis(img, 0, -1).reshape(height, width, 3)

@@ -86,10 +86,20 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
     h_local = height // n_tile
     spp_local = total_spp // n_sample
 
+    # the custom_vjp primal is forward-only by construction (the backward is
+    # the fused grad kernel / replay below), so it can take the two-phase
+    # capped + lane-compacted schedule where the straggler tail costs real
+    # time (+34-40% on v5e; ops.wavefront_pallas.render_pass_pallas_compacted)
+    if spp_local >= 8 and not interpret:
+        from ..ops.wavefront_pallas import render_pass_pallas_compacted
+        fwd_pass = render_pass_pallas_compacted
+    else:
+        fwd_pass = render_pass_pallas
+
     @jax.custom_vjp
     def shard_render(params, cam, seed_f, row0_f, s0_f):
         flat = set_params(baked, params)
-        return render_pass_pallas(
+        return fwd_pass(
             flat, cam, seed_f, s0_f.astype(jnp.int32), width=width,
             height=h_local, n_strata=n_strata, max_depth=max_depth,
             n_samples=spp_local, sky_gradient=sky_gradient,

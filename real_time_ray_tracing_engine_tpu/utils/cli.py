@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="compute path: fused Pallas megakernel or pure-JAX "
                         "wavefront (auto: pallas on TPU when supported)")
+    p.add_argument("--schedule", choices=["auto", "single", "compacted"],
+                   default="auto",
+                   help="pallas wavefront schedule: single pass or two-phase "
+                        "capped + lane-compacted (auto: compacted for >=8 "
+                        "samples per pass on TPU)")
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
     p.add_argument("--checkpoint", default=None,
                    help="dynamic mode: save/resume accumulation state (.npz)")
@@ -115,7 +120,8 @@ def main(argv=None) -> int:
                                  engine=args.engine)
         else:
             img = rt.render(scene, use_bvh=args.bvh, seed=args.seed,
-                            engine=args.engine,
+                            engine=args.engine, schedule=args.schedule,
+                            samples_per_batch=16,
                             progress=lambda s, t: print(
                                 f"\r[INFO] sample {s}/{t}", end="",
                                 file=sys.stderr))

@@ -203,12 +203,14 @@ def test_two_level_cluster_culling_matches_oracle(monkeypatch):
     _assert_close(img_p, img_j)
 
 
-def test_lane_bvh_mode_matches_oracle():
+def test_lane_bvh_mode_matches_oracle(monkeypatch):
     """Per-lane stackless skip-link BVH traversal (all-sphere use_bvh
     scenes): every lane walks its own escape-pointer chain via 128-lane
     dynamic gathers, with bf16-packed conservative boxes and one-prim-per-
     step leaf draining (ops.wavefront_pallas.closest_hit_lane). Must match
-    the pure-JAX oracle exactly like every other kernel mode."""
+    the pure-JAX oracle exactly like every other kernel mode. The mode is
+    opt-in (RTX_LANE_BVH) while its v5e hardware fault is open."""
+    monkeypatch.setenv("RTX_LANE_BVH", "1")
     rng = np.random.default_rng(11)
     objs = []
     for i in range(90):
@@ -453,3 +455,7 @@ def test_compacted_schedule_matches_single_pass():
         two = np.asarray(render_pass_pallas_compacted(
             flat, cam, jnp.uint32(7), jnp.int32(3), cap=6, **kw))
         assert np.allclose(one, two, atol=1e-5), scene.name
+    # 3-phase (capped resume pass between compactions) on the last scene
+    three = np.asarray(render_pass_pallas_compacted(
+        flat, cam, jnp.uint32(7), jnp.int32(3), cap=6, phases=3, **kw))
+    assert np.allclose(one, three, atol=1e-5)
