@@ -34,18 +34,24 @@ quads, all 5 material families, solid/checker textures, sphere+quad MIS
 lights, constant mediums (ConstantMedium.cpp free-flight scattering),
 defocus, motion blur, stratification — runs in-kernel.
 
-Three intersection strategies, chosen statically by scene shape:
+Four intersection strategies, chosen statically by scene shape
+(_kernel_modes):
   - unrolled (<=64 prims, Cornell class): Python-unrolled prim loop with
     static SMEM scalar reads + masked-select material/texture gather.
-  - scan (bouncing-spheres class): lax.fori_loop over Morton clusters with
-    two-level any-lane box culling, unrolled per-cluster sphere tests with
-    dynamic SMEM scalar reads, and lazy winner-material gathers.
-  - lane BVH (all-sphere use_bvh scenes): per-lane STACKLESS skip-link
-    traversal — each lane walks its own escape-pointer chain through the
-    SAH BVH using Mosaic's 128-lane dynamic gathers (chunked lookups,
-    bf16-packed conservative boxes), draining leaf prims one per step.
-    The only mode whose work scales with what each RAY sees rather than
-    with what any lane in the tile sees.
+  - vscan (the round-4 DEFAULT for every other scene, use_bvh or not):
+    vectorized prim-chunk scan — 128-prim Morton chunks tested against the
+    whole tile as (128 prims, 128 rays) outer-product vector ops from VMEM
+    planes, whole-tile chunk-AABB culling, a bitcast int32 winner key, and
+    once-per-bounce chunked winner gathers. Replaces round 3's per-prim
+    scalar-read scan (measured scalar-issue-bound): bouncing-spheres
+    5.8 -> 17+ Mpaths/s, grid-4913 1.6 -> 5.5 on v5e.
+  - stack BVH (RTX_BVH_STACK=1, or quad-heavy use_bvh scenes): whole-tile
+    shared-SMEM-stack traversal of the SAH BVH, segregated typed leaves.
+  - lane BVH (RTX_LANE_BVH=1, all-sphere use_bvh scenes): per-lane
+    STACKLESS skip-link traversal via 128-lane dynamic gathers. The only
+    mode whose work scales with what each RAY sees — but each gather costs
+    O(table/128) vector selects, so it loses to vscan below ~10k prims
+    (measured round 4: 3.6 vs 10.5 Mpaths/s on bouncing-spheres).
 """
 from __future__ import annotations
 
@@ -101,47 +107,40 @@ def _smem_table_bytes(flat: FlatScene) -> int:
     NM = flat.mat_type.shape[0]
     NT = flat.tex_type.shape[0]
     M = flat.med_neg_inv_density.shape[0] if flat.n_mediums else 0
-    B = flat.bvh_bbox_min.shape[0] if flat.use_bvh else 1
     MQ = flat.med_quad_corner.shape[1]
     MS = flat.med_sph_center.shape[1]
-    unroll = _use_unrolled(S, Q, NM, NT)
-    lane = (_lane_bvh_enabled() and flat.use_bvh and not unroll
-            and flat.n_quads == 0
-            and B <= LANE_BVH_MAX and flat.bvh_prims.shape[0] <= LANE_BVH_MAX)
+    unroll, lane, bvh, vscan = _kernel_modes(flat)
     # mirror the wrapper's table slimming: unrolled mode drops the resolved
-    # per-prim rows; scan/bvh modes drop the mat/tex tables (the resolved
-    # rows replace them) and Morton-pad the sphere tables; lane mode moves
-    # prim/material/node data into VMEM gather tables entirely
-    if lane:
-        pad_s, n_clu, n_grp = 1, 1, 1
-    elif unroll or flat.use_bvh:
-        pad_s, n_clu, n_grp = S, 1, 1
+    # per-prim rows; bvh mode drops the mat/tex tables (the resolved rows
+    # replace them); lane/vscan modes additionally move sphere + per-prim
+    # material data into VMEM gather tables, keeping only quad/medium rows
+    # (vscan) or medium rows (lane) in SMEM
+    B = flat.bvh_bbox_min.shape[0] if bvh else 1
+    n_sph = 1 if (lane or vscan) else S
+    n_vbox = (-(-S // VCHUNK)) if (vscan and S) else 1
+    if unroll:
+        n_primmat = 1
+    elif lane:
+        n_primmat = max(M, 1)
+    elif vscan:
+        n_primmat = max(Q + M, 1)
     else:
-        two_level = S > 2 * CLUSTER * GROUP
-        quantum = CLUSTER * GROUP if two_level else CLUSTER
-        pad_s = -(-S // quantum) * quantum
-        n_clu = pad_s // CLUSTER
-        n_grp = pad_s // (CLUSTER * GROUP) if two_level else 1
-    n_primmat = 1 if unroll else (max(M, 1) if lane else pad_s + Q + M)
+        n_primmat = P + M
     n_mt = NM if unroll else 1
     n_tex = NT if unroll else 1
-    if lane:
-        B = 1                           # node table moves to VMEM
-    return (t(8, pad_s) + t(18, Q) + t(1, P + M)
+    return (t(8, n_sph) + t(18, Q) + t(1, P + M)
             + t(25, max(flat.n_lights, 1))
             + t(2, n_mt) * 2 + t(14, n_tex)
             + t(PMCOLS, n_primmat)              # resolved per-prim rows
-            + t(6, n_clu) + t(6, n_grp)         # cluster + group boxes
+            + t(6, n_vbox)                      # vscan chunk boxes
             + t(3 + 4 * MS + 17 * MQ, max(M, 1))
-            + t(6, B) + t(5, B) + t(1, P)       # BVH nodes + leaf order
+            + t(6, B) + t(5, B) + t(1, P if bvh else 1)  # BVH stack tables
             + 4 * (3 + 22))                     # iscal + fscal
 MAX_LIGHTS = 32
 MAX_MATS = 16           # unrolled masked-select material gather bound
 MAX_TEXS = 16
 PMCOLS = 18        # resolved per-prim row width (_pack_tables.resolved_rows)
 MAX_MEDIUMS = 4         # unrolled constant-medium free-flight bound
-CLUSTER = 16            # prims per culling cluster in scan mode
-GROUP = 16              # clusters per second-level culling group
 # per-medium SMEM row width is 6 + 17*MQ + 1 where MQ = quads per boundary
 # (dynamic since arbitrary convex boundaries; see _pack_tables)
 
@@ -354,74 +353,186 @@ def _use_unrolled(S, Q, NM, NT) -> bool:
     return S + Q <= MAX_PRIMS_UNROLL and NM <= MAX_MATS and NT <= MAX_TEXS
 
 
-def _cluster_spheres(sphf, primmat_s):
-    """Morton-sort sphere rows and build per-cluster AABBs for scan-mode
-    culling (traced jnp; the permutation is data-dependent, which is fine —
-    only shapes must be static).
+VCHUNK = 128            # prims per vectorized-scan test chunk (= the
+#                         128-lane gather chunk). Measured negative result
+#                         (round 4, v5e): 32-prim chunks for 4x finer
+#                         culling LOSE (grid4913 3.2 -> 1.6 Mpaths/s) —
+#                         a lax.cond inside the bounce loop costs ~2K
+#                         cycles once the live wavefront state must be
+#                         spilled around the branch, so more/finer culling
+#                         branches cost more than the chunk work they skip
+VSCAN_BIG = 8           # largest prims split into vscan's unconditional
+#                         sub-block (keeps Morton chunk AABBs tight)
+MAX_QUADS_VSCAN = 64    # vscan's per-quad fori bound; beyond it a use_bvh
+#                         scene takes the shared-stack traversal instead
+# bit pattern of BIG with the low 7 mantissa bits cleared — the "no hit"
+# value of the vscan winner key (t bits | chunk-local prim id; positive-f32
+# bit patterns order like the floats, so int32 min == float min)
+_BIG_KEY = int(np.float32(BIG).view(np.int32)) & ~127
 
-    Returns (sphf_sorted_padded, primmat_sorted_padded, cbox (K, 6),
-    gbox (G, 6)) or (sphf, primmat_s, None, None) when the scene is too small
-    to bother. Inactive rows (padding, light-only geometry) sort to the end
-    with empty boxes, so their clusters always fail the slab test. gbox are
-    second-level boxes over GROUP consecutive Morton clusters (None when the
-    scene has too few clusters): the kernel culls GROUP*CLUSTER prims with
-    one slab test before testing per-cluster boxes — the flat analogue of a
-    2-level BVH descent, tuned for whole-tile any-lane culling.
-    """
-    S = sphf.shape[0]
-    if S <= 2 * CLUSTER:
-        return sphf, primmat_s, None, None
-    c0, cd, r = sphf[:, 0:3], sphf[:, 3:6], sphf[:, 6:7]
-    active = sphf[:, 7:8] > 0.5
+
+def _kernel_env() -> tuple:
+    """Kernel-mode env knobs, read OUTSIDE jit and threaded through as a
+    static argument so changing them mid-process cannot silently reuse a
+    kernel compiled under the old setting (round-3 ADVICE item 1)."""
+    return (os.environ.get("RTX_LANE_BVH", "0"),
+            os.environ.get("RTX_LANE_GATHER", "take"),
+            os.environ.get("RTX_BVH_STACK", "0"))
+
+
+def _kernel_modes(flat: FlatScene, env=None):
+    """Static kernel-mode dispatch shared by the wrapper and the SMEM gate:
+    (unroll, lane_mode, bvh_mode, vscan_mode). Exactly one is True.
+
+    Round-4 default for every non-unrolled scene (use_bvh or not) is the
+    vectorized prim-chunk scan — measured faster than both the shared-stack
+    and per-lane BVH traversals up to the MAX_PRIMS_SCAN bound, because its
+    per-bounce work is dense (128 prims x 128 rays) vector ops with
+    Morton-chunk AABB culling, not per-prim scalar reads or per-lane
+    gathers. The traversal kernels stay reachable: RTX_BVH_STACK=1 forces
+    the shared-stack mode (also auto-selected for quad-heavy use_bvh
+    scenes, where vscan's per-quad fori would dominate), RTX_LANE_BVH=1 the
+    per-lane skip-link mode."""
+    if env is None:
+        env = _kernel_env()
+    lane_bvh, _gather, bvh_stack = env
+    S = flat.sph_center.shape[0]
+    Q = flat.quad_corner.shape[0]
+    unroll = _use_unrolled(S, Q, flat.mat_type.shape[0],
+                           flat.tex_type.shape[0])
+    lane = (lane_bvh == "1" and bool(flat.use_bvh) and not unroll
+            and flat.n_quads == 0
+            and flat.bvh_bbox_min.shape[0] <= LANE_BVH_MAX
+            and flat.bvh_prims.shape[0] <= LANE_BVH_MAX)
+    bvh = (bool(flat.use_bvh) and not unroll and not lane
+           and (bvh_stack == "1" or Q > MAX_QUADS_VSCAN))
+    vscan = not unroll and not lane and not bvh
+    return unroll, lane, bvh, vscan
+
+
+def _pack_vscan_tables(flat: FlatScene, primmat_s):
+    """Tables for the vectorized prim-chunk scan (closest_hit_vscan).
+
+    The round-3 scan kernel walked prims with dynamic SMEM scalar reads —
+    ~7 serialized scalar-core reads per prim per bounce, which bound the
+    whole intersection. Round 4 instead tests one 128-prim chunk against
+    every ray of the tile as (128 prims, 128 rays) outer-product vector
+    ops straight from VMEM planes: the scalar core only issues the chunk
+    loop, and the VPU sees dense 16-vreg ops. Spheres are Morton-ordered
+    (inactive rows last) so chunks are spatially tight and cullable by one
+    whole-tile AABB slab test each — the flat TPU stand-in for the
+    reference's per-ray BVH descent (BVHNode.cpp:385-446).
+
+    Layouts:
+      vtab (C*128, 8) f32 — prim rows on SUBLANES, fields on lanes
+        [cx cy cz cdx cdy cdz r valid]; 8-row-aligned dynamic slices pull
+        one chunk's (128, 8) block per loop step.
+      ptab (C*8, 128) — same fields chunk-major (gather_fields layout) for
+        the once-per-bounce winner re-derivation.
+      pmtab (C*24, 128) — resolved per-prim material rows (PMCOLS), same
+        Morton order, gathered once for the winner.
+      vbox (C, 6) f32 — conservative chunk AABBs over motion (SMEM).
+    Returns (vtab, ptab, pmtab, vbox, C)."""
+    f32 = jnp.float32
+    c0 = flat.sph_center
+    cd = flat.sph_cdelta
+    r = flat.sph_radius[:, None]
+    active = (flat.sph_active[:, None]
+              & (flat.sph_radius[:, None] > 0.0))
     lo = jnp.minimum(c0, c0 + cd) - r          # motion-swept sphere bbox
     hi = jnp.maximum(c0, c0 + cd) + r
+    S = c0.shape[0]
+    moving = jnp.any(cd != 0.0, axis=1)
+    # the VSCAN_BIG largest active prims (by swept extent) go to a
+    # dedicated final chunk tested as a cheap unconditional (8, 128)
+    # sub-block: one huge sphere (e.g. bouncing_spheres' r=1000 ground,
+    # main.cpp:75-78) would otherwise inflate its Morton chunk's AABB to
+    # cover the whole scene and defeat chunk culling for 127 innocents.
+    # Picked among STATIC actives when there are enough (the static count
+    # is compile-time metadata, so the static-chunk boundary below stays a
+    # trace-time constant); a scene of mostly movers falls back to all.
+    n_big = VSCAN_BIG if S > VCHUNK else 0
+    nas = int(flat.n_sph_active_static)
+    pick_static_bigs = nas >= n_big
+    extent = jnp.max(hi - lo, axis=1)
+    if n_big:
+        pool = (active[:, 0] & ~moving) if pick_static_bigs \
+            else active[:, 0]
+        rank = jnp.argsort(jnp.argsort(-jnp.where(pool, extent, -1.0)))
+        is_big = rank < n_big
+    else:
+        is_big = jnp.zeros((S,), bool)
     mid = 0.5 * (lo + hi)
     wmin = jnp.min(jnp.where(active, mid, BIG), axis=0)
     wmax = jnp.max(jnp.where(active, mid, -BIG), axis=0)
     scale = 1023.0 / jnp.maximum(wmax - wmin, 1e-6)
     q = jnp.clip((mid - wmin) * scale, 0.0, 1023.0).astype(jnp.uint32)
     code = _morton3(q[:, 0], q[:, 1], q[:, 2])
-    code = jnp.where(active[:, 0], code, jnp.uint32(0xFFFFFFFF))
+    # order: static smalls (Morton), then moving smalls (Morton) — the
+    # leading C_stat whole-static chunks skip the 6 motion ops — then
+    # inactive rows (never hit), then the bigs LAST so they land exactly
+    # in the final chunk's first rows
+    code = jnp.where(active[:, 0] & moving,
+                     code | jnp.uint32(1 << 30), code)
+    code = jnp.where(active[:, 0], code, jnp.uint32(0xFFFFFFFE))
+    code = jnp.where(is_big, jnp.uint32(0xFFFFFFFF), code)
     perm = jnp.argsort(code)
-    sphf, primmat_s = sphf[perm], primmat_s[perm]
-    lo, hi, active = lo[perm], hi[perm], active[perm]
-    # pad to a whole number of GROUPS when the scene is big enough for the
-    # two-level hierarchy (padding rows are inactive -> empty boxes)
-    two_level = S > 2 * CLUSTER * GROUP
-    quantum = CLUSTER * GROUP if two_level else CLUSTER
-    pad = (-S) % quantum
-    if pad:
-        sphf = jnp.pad(sphf, ((0, pad), (0, 0)))
-        primmat_s = jnp.pad(primmat_s, ((0, pad), (0, 0)))
-        lo = jnp.pad(lo, ((0, pad), (0, 0)))
-        hi = jnp.pad(hi, ((0, pad), (0, 0)))
-        active = jnp.pad(active, ((0, pad), (0, 0)))
-    lo = jnp.where(active, lo, BIG)
-    hi = jnp.where(active, hi, -BIG)
-    k = sphf.shape[0] // CLUSTER
-    lo_c = lo.reshape(k, CLUSTER, 3).min(axis=1)
-    hi_c = hi.reshape(k, CLUSTER, 3).max(axis=1)
-    cbox = jnp.concatenate([lo_c, hi_c], axis=1)
-    gbox = None
-    if two_level:
-        g = k // GROUP
-        gbox = jnp.concatenate([lo_c.reshape(g, GROUP, 3).min(axis=1),
-                                hi_c.reshape(g, GROUP, 3).max(axis=1)],
-                               axis=1)
-    return sphf, primmat_s, cbox, gbox
+    n_small = S - n_big
+    C_small = -(-n_small // VCHUNK)
+    C = C_small + (1 if n_big else 0)
+    n_small_static = max(nas - n_big, 0) if pick_static_bigs else 0
+    C_stat = min(n_small_static // VCHUNK, C_small)
+    valid = active.astype(f32)
+    # col 6 = r^2 for valid rows, else -BIG: the (disc > 0) test then
+    # rejects invalid/pad rows for free (disc = h^2 - a(|oc|^2 - r2m) is
+    # hugely negative), dropping the per-pair valid compare; col 7 keeps
+    # the actual radius for the winner's normal
+    r2m = jnp.where(valid > 0.5, r * r, -BIG)
+    rows = jnp.concatenate([c0, cd, r2m, r], axis=1)[perm]
+    lo = jnp.where(active & ~is_big[:, None], lo, BIG)[perm]
+    hi = jnp.where(active & ~is_big[:, None], hi, -BIG)[perm]
+    if n_big:
+        rows = jnp.concatenate([
+            jnp.pad(rows[:n_small],
+                    ((0, C_small * VCHUNK - n_small), (0, 0))),
+            jnp.pad(rows[n_small:], ((0, VCHUNK - n_big), (0, 0)))])
+        pm = jnp.concatenate([
+            jnp.pad(primmat_s[perm][:n_small],
+                    ((0, C_small * VCHUNK - n_small), (0, 0))),
+            jnp.pad(primmat_s[perm][n_small:],
+                    ((0, VCHUNK - n_big), (0, 0)))])
+    else:
+        pad = C * VCHUNK - S
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))          # (C*128, 8)
+        pm = jnp.pad(primmat_s[perm], ((0, pad), (0, 0)))
+    # zero-filled PAD rows would carry r2m = 0 (a sphere of radius 0 at the
+    # origin — numerically hittable by a grazing ray); force their r2m to
+    # -BIG so (disc > 0) rejects them unconditionally
+    rows = rows.at[:, 6].set(
+        jnp.where(rows[:, 7] > 0.0, rows[:, 6], -BIG))
+    lo = jnp.pad(lo[:n_small] if n_big else lo,
+                 ((0, C * VCHUNK - (n_small if n_big else S)), (0, 0)),
+                 constant_values=BIG)
+    hi = jnp.pad(hi[:n_small] if n_big else hi,
+                 ((0, C * VCHUNK - (n_small if n_big else S)), (0, 0)),
+                 constant_values=-BIG)
+    vbox = jnp.concatenate([lo.reshape(C, VCHUNK, 3).min(axis=1),
+                            hi.reshape(C, VCHUNK, 3).max(axis=1)], axis=1)
+
+    def chunkmajor(tab):                            # (nf, C*VCHUNK)
+        nf, N = tab.shape
+        nfp = -(-nf // 8) * 8
+        Cg = -(-N // 128)                     # gather chunks stay 128-wide
+        tab = jnp.pad(tab, ((0, nfp - nf), (0, Cg * 128 - N)))
+        return tab.reshape(nfp, Cg, 128).transpose(1, 0, 2).reshape(
+            Cg * nfp, 128), Cg
+
+    ptab, C_g = chunkmajor(rows.T)
+    pmtab, _ = chunkmajor(pm.T)
+    return rows, ptab, pmtab, vbox, C, C_g, C_stat, n_big
 
 
 LANE_BVH_MAX = 16383    # node/prim ids must fit 14 bits of the control word
-
-
-def _lane_bvh_enabled() -> bool:
-    """Per-lane skip-link traversal is OPT-IN (RTX_LANE_BVH=1) until its
-    hardware fault is fixed: the kernel is oracle-validated in interpret
-    mode but crashes the TPU worker process on v5e (round-3 finding, see
-    BASELINE.md) — a misbehaving mode must never be the default path a
-    use_bvh scene silently lands on. Default: shared-stack traversal."""
-    import os
-    return os.environ.get("RTX_LANE_BVH", "0") == "1"
 
 
 NODE_FIELDS = 9         # x0 x1 y0 y1 z0 z1 miss hof cnt (lane node table)
@@ -446,30 +557,39 @@ def _pack_lane_tables(flat: FlatScene, primmatf):
       pmat table (PMCOLS rows/chunk): the resolved per-prim material rows in
         the same leaf order (winner materials are gathered ONCE per bounce
         after traversal).
-    """
+
+    Layout is CHUNK-major — chunk c's field rows are contiguous at
+    [c*nfp, c*nfp + nf) with nfp = nf rounded up to 8 sublanes — so the
+    gather's fori_loop body fetches one chunk's whole field block with a
+    single 8-aligned dynamic VMEM slice (round-4 scoped-VMEM fix: the
+    round-3 field-major layout forced a fully unrolled chunk loop whose
+    per-chunk one-hot matmul scratch Mosaic stack-allocated all at once,
+    36.9 MiB on bouncing_spheres vs the 16 MiB scoped limit)."""
     f32 = jnp.float32
+
+    def chunkmajor(tab):                              # (nf, N) f32
+        nf, N = tab.shape
+        C = -(-N // 128)
+        nfp = -(-nf // 8) * 8
+        tab = jnp.pad(tab, ((0, nfp - nf), (0, C * 128 - N)))
+        return (tab.reshape(nfp, C, 128).transpose(1, 0, 2)
+                .reshape(C * nfp, 128), C)
+
     cnt = jnp.where(flat.bvh_leaf, flat.bvh_right, 0)
     hof = jnp.where(flat.bvh_leaf, flat.bvh_left, flat.bvh_hit)
     cols = [flat.bvh_bbox_min[:, 0], flat.bvh_bbox_max[:, 0],
             flat.bvh_bbox_min[:, 1], flat.bvh_bbox_max[:, 1],
             flat.bvh_bbox_min[:, 2], flat.bvh_bbox_max[:, 2],
             flat.bvh_miss.astype(f32), hof.astype(f32), cnt.astype(f32)]
-    ntab = jnp.stack(cols)                                   # (NF, B)
-    B = ntab.shape[1]
-    C_n = -(-B // 128)
-    ntab = jnp.pad(ntab, ((0, 0), (0, C_n * 128 - B))).reshape(
-        NODE_FIELDS * C_n, 128)
+    B = cols[0].shape[0]
+    ntab, C_n = chunkmajor(jnp.stack(cols))
 
     order = flat.bvh_prims
-    ptab = jnp.concatenate([
+    P = order.shape[0]
+    ptab, C_p = chunkmajor(jnp.concatenate([
         flat.sph_center[order], flat.sph_cdelta[order],
-        flat.sph_radius[order][:, None]], axis=1).T           # (7, P)
-    P = ptab.shape[1]
-    C_p = -(-P // 128)
-    ptab = jnp.pad(ptab, ((0, 0), (0, C_p * 128 - P))).reshape(7 * C_p, 128)
-    pmtab = primmatf[order].T                            # (PMCOLS, P)
-    pmtab = jnp.pad(pmtab, ((0, 0), (0, C_p * 128 - P))).reshape(
-        PMCOLS * C_p, 128)
+        flat.sph_radius[order][:, None]], axis=1).T)          # (7, P)
+    pmtab, _ = chunkmajor(primmatf[order].T)             # (PMCOLS, P)
     return ntab, ptab, pmtab, C_n, C_p, B, P
 
 
@@ -574,10 +694,13 @@ def _pack_tables(flat: FlatScene):
 
 # ------------------------------------------------------------- the kernel
 def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
-                 n_samples, sky_gradient, unroll_prims, n_clusters,
-                 n_groups=0, grad_tex=False, bvh_mode=False, has_noise=False,
+                 n_samples, sky_gradient, unroll_prims,
+                 grad_tex=False, bvh_mode=False, has_noise=False,
                  MQ=6, MS=1, tex_struct=None, hard_slots=(), light_src=(),
-                 want_tex=True, lane_mode=False, C_n=1, C_p=1, B_n=1,
+                 want_tex=True, lane_mode=False, vscan_mode=False, C_v=1,
+                 C_vg=1, vscan_big=0, vscan_motion=True, vscan_stat=0,
+                 vscan_big_motion=True,
+                 C_n=1, C_p=1, B_n=1,
                  P_n=1, cap=0, resume=False, NT_g=None,
                  lane_gather="take"):
     """grad_tex=True builds the fused forward+backward variant: alongside the
@@ -657,19 +780,19 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         if grad_tex:
             (g_ref, iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref,
              lightf_ref, mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
-             cgrp_ref, medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref,
+             medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref,
              ptab_ref, pmtab_ref, out_ref, dg_ref, stack_ref) = rest
         else:
             if resume:
                 stin_ref, rest = rest[0], rest[1:]
             (iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref, lightf_ref,
-             mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref, cgrp_ref,
+             mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
              medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref, ptab_ref,
-             pmtab_ref) = rest[:19]
+             pmtab_ref) = rest[:18]
             if cap:
-                out_ref, stout_ref, stack_ref = rest[19:]
+                out_ref, stout_ref, stack_ref = rest[18:]
             else:
-                out_ref, stack_ref = rest[19:]
+                out_ref, stack_ref = rest[18:]
         pix = pix_ref[:]                                     # (R,128) int32
         seed = iscal_ref[0].astype(jnp.uint32)
         sample_start_f = iscal_ref[1].astype(jnp.float32)
@@ -701,6 +824,64 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         # data-derived zero: a constant-splat zeros_like gets a replicated
         # Mosaic layout, which while_loop carries cannot relayout back into
         zero = i_f * 0.0
+        izero = pix * 0
+
+        def gather_fields(ref, C, nf, idx_pl):
+            """Per-lane table lookups: out[f][lane] = table_f[idx[lane]]
+            for all nf fields of a chunk-major (C*nfp, 128) VMEM table
+            (_pack_lane_tables / _pack_vscan_tables layout). Shared by the
+            lane-BVH traversal and the vscan winner re-derivation.
+
+            Two statically-selected lowerings (RTX_LANE_GATHER):
+              take (default) — one take_along_axis gather + select per
+                128-entry chunk, on INT32 views (bit-exact by
+                construction). Round 3's Mosaic faulted on this gather
+                inside lax.while_loop on v5e; the round-4 toolchain lowers
+                it correctly (re-verified against the oracle on hardware),
+                so it is the default again — ~30x cheaper than onehot.
+              onehot — a one-hot MXU matmul per chunk, fori_loop'd over
+                chunks: one compare builds the chunk-masked indicator
+                (idx == chunk_base + lane iota ≡ hi==c ∧ lo match), one
+                8-aligned dynamic slice fetches the chunk's (nfp, 128)
+                field block, one dot_general contracts lanes at
+                Precision.HIGHEST. Exactly one indicator per row is
+                nonzero across all chunks and every table value is a REAL
+                f32, so value*1.0 accumulation is bit-exact; no
+                vector-gather primitive is involved. Kept as the fallback
+                lowering should a future toolchain regress the gather.
+            """
+            nfp = -(-nf // 8) * 8
+            hi = jax.lax.shift_right_logical(idx_pl, 7)
+            lo = idx_pl & 127
+            if lane_gather == "onehot":
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (R, 128, 128), 2)
+
+                def chunk(c, acc):
+                    oh = ((idx_pl[:, :, None] == iota + c * 128)
+                          .astype(jnp.float32).reshape(R * 128, 128))
+                    blk = ref[pl.ds(c * nfp, nfp), :]      # (nfp, 128)
+                    return acc + jax.lax.dot_general(
+                        oh, blk, (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
+                res = jax.lax.fori_loop(
+                    0, C, chunk,
+                    jnp.zeros((R * 128, nfp), jnp.float32))
+                res = res.reshape(R, 128, nfp)
+                return [res[:, :, f] for f in range(nf)]
+            outs = [izero] * nf
+            for c in range(C):
+                m = hi == c
+                for f in range(nf):
+                    row = ref[c * nfp + f:c * nfp + f + 1, :]  # (1, 128)
+                    full = jax.lax.bitcast_convert_type(
+                        row, jnp.int32) + izero
+                    g = jnp.take_along_axis(full, lo, axis=1)
+                    outs[f] = jnp.where(m, g, outs[f])
+            return [jax.lax.bitcast_convert_type(o, jnp.float32)
+                    for o in outs]
 
         # trainable "hard" scalars, read ONCE from SMEM so the per-bounce
         # physics can be jax.linearize'd with respect to them (grad path);
@@ -800,15 +981,12 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 
         # ------------------- closest hit, scan mode (fori_loop over prims)
         def closest_hit_scan(ox, oy, oz, dx, dy, dz, tm, alive):
-            """Large-scene variant: lax.fori_loop over prim rows with dynamic
-            scalar SMEM reads, gathering the winner's resolved material row
-            (primmat_ref) inline — per-lane table gathers are not vector ops
-            on the VPU, so material parameters ride the intersection carry.
-
-            With n_clusters > 0, Morton-ordered sphere clusters are culled by
-            a whole-tile slab test: a cluster whose AABB no live lane can hit
-            is skipped via lax.cond — divergence-free culling in place of the
-            reference's per-ray BVH descent (BVHNode.cpp:385-446)."""
+            """Shared-stack BVH variant (bvh_mode): leaf prims run fori_loop
+            masked tests with dynamic scalar SMEM reads, gathering the
+            winner's resolved material row (primmat_ref) inline — material
+            parameters ride the intersection carry. The plain `elif S` fori
+            fallback below is kept as a mode-free safety net (vscan is the
+            round-4 default for all non-unrolled scenes)."""
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
 
@@ -963,113 +1141,6 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 _, cr = jax.lax.while_loop(
                     lambda carry: carry[0] > 0, t_body,
                     (jnp.int32(1), cr))
-            elif n_clusters:
-                # guarded reciprocal for the slab test (AABB.cpp:62-165)
-                eps = 1e-12
-                idx = 1.0 / jnp.where(jnp.abs(dx) < eps,
-                                      jnp.where(dx < 0, -eps, eps), dx)
-                idy = 1.0 / jnp.where(jnp.abs(dy) < eps,
-                                      jnp.where(dy < 0, -eps, eps), dy)
-                idz = 1.0 / jnp.where(jnp.abs(dz) < eps,
-                                      jnp.where(dz < 0, -eps, eps), dz)
-
-                def box_any(ref, k, best_t):
-                    """True if ANY live lane's ray hits box k of table ref
-                    before its current best_t (whole-tile culling test)."""
-                    t0x = (ref[0, k] - ox) * idx
-                    t1x = (ref[3, k] - ox) * idx
-                    t0y = (ref[1, k] - oy) * idy
-                    t1y = (ref[4, k] - oy) * idy
-                    t0z = (ref[2, k] - oz) * idz
-                    t1z = (ref[5, k] - oz) * idz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t0x, t1x),
-                                    jnp.minimum(t0y, t1y)),
-                        jnp.maximum(jnp.minimum(t0z, t1z), T_MIN))
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t0x, t1x),
-                                    jnp.maximum(t0y, t1y)),
-                        jnp.minimum(jnp.maximum(t0z, t1z), best_t))
-                    want = alive & (tn <= tf)
-                    return jnp.sum(jnp.where(want, 1.0, 0.0)) > 0.0
-
-                def cluster_tests(k, cr):
-                    """CLUSTER sphere tests UNROLLED at static offsets from
-                    the scalar base k*CLUSTER (one loop iteration per
-                    cluster instead of one per prim — the per-iteration
-                    scalar index/branch overhead dominated the scan at
-                    >1000 prims), with the 15-column material gather done
-                    LAZILY once per cluster, only when some lane actually
-                    improved (best_t converges fast, so most slab-passing
-                    clusters improve nothing and skip the gather)."""
-                    best_t, nx, ny, nz, mats = cr
-                    base = k * CLUSTER
-                    jwin = zero - 1.0
-                    for j in range(CLUSTER):
-                        p = base + j
-                        scx = sphf_ref[0, p] + tm * sphf_ref[3, p]
-                        scy = sphf_ref[1, p] + tm * sphf_ref[4, p]
-                        scz = sphf_ref[2, p] + tm * sphf_ref[5, p]
-                        rad = sphf_ref[6, p]
-                        ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
-                        h = _dot3(dx, dy, dz, ocx, ocy, ocz)
-                        c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
-                        disc = h * h - a * c
-                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                        r0 = (h - sq) * inv_a
-                        r1 = (h + sq) * inv_a
-                        in0 = (r0 > T_MIN) & (r0 < best_t)
-                        in1 = (r1 > T_MIN) & (r1 < best_t)
-                        t_p = jnp.where(in0, r0, r1)
-                        take = ((disc > 0.0) & (in0 | in1)
-                                & (sphf_ref[7, p] > 0.5) & (rad > 0.0))
-                        inv_r = 1.0 / jnp.maximum(rad, 1e-12)
-                        best_t = jnp.where(take, t_p, best_t)
-                        nx = jnp.where(take, (ox + t_p * dx - scx) * inv_r,
-                                       nx)
-                        ny = jnp.where(take, (oy + t_p * dy - scy) * inv_r,
-                                       ny)
-                        nz = jnp.where(take, (oz + t_p * dz - scz) * inv_r,
-                                       nz)
-                        jwin = jnp.where(take, float(j) + zero, jwin)
-
-                    def gather(c):
-                        bt, gnx, gny, gnz, mats = c
-                        new = []
-                        for ci in range(PMCOLS):
-                            v = mats[ci]
-                            for j in range(CLUSTER):
-                                v = jnp.where(jwin == float(j),
-                                              primmat_ref[ci, base + j], v)
-                            new.append(v)
-                        return bt, gnx, gny, gnz, tuple(new)
-
-                    improved = jnp.sum(jnp.where(jwin >= 0.0, 1.0, 0.0)) > 0.0
-                    return jax.lax.cond(improved, gather, lambda c: c,
-                                        (best_t, nx, ny, nz, mats))
-
-                def cluster_body(k, cr):
-                    return jax.lax.cond(
-                        box_any(csph_ref, k, cr[0]),
-                        lambda c: cluster_tests(k, c),
-                        lambda c: c,
-                        cr)
-
-                if n_groups:
-                    # two-level descent: one slab test culls GROUP*CLUSTER
-                    # prims at once (the flat form of a 2-level BVH)
-                    def group_body(gk, cr):
-                        return jax.lax.cond(
-                            box_any(cgrp_ref, gk, cr[0]),
-                            lambda c: jax.lax.fori_loop(
-                                gk * GROUP, (gk + 1) * GROUP,
-                                cluster_body, c),
-                            lambda c: c,
-                            cr)
-
-                    cr = jax.lax.fori_loop(0, n_groups, group_body, cr)
-                else:
-                    cr = jax.lax.fori_loop(0, n_clusters, cluster_body, cr)
             elif S:
                 cr = jax.lax.fori_loop(0, S, sph_body, cr)
             if Q and not bvh_mode:       # the BVH covers quads too
@@ -1077,6 +1148,219 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             best_t, nx, ny, nz, mats = cr
             hit = best_t < BIG * 0.5
             t_safe = jnp.where(hit, best_t, 1.0)
+            px = ox + t_safe * dx
+            py = oy + t_safe * dy
+            pz = oz + t_safe * dz
+            front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            return (hit, best_t, px, py, pz, nx * sgn, ny * sgn, nz * sgn,
+                    front, mats)
+
+        # ------- closest hit, vectorized prim-chunk scan (round-4 default
+        # for every non-unrolled scene; tables in _pack_vscan_tables)
+        def closest_hit_vscan(ox, oy, oz, dx, dy, dz, tm, alive):
+            """One Morton chunk of 128 spheres is tested against the whole
+            tile as (128 prims, 128 rays) outer-product vector ops per
+            ray-row — prim fields broadcast from (128, 1) VMEM columns, ray
+            fields from (1, 128) plane rows — so the VPU runs dense 16-vreg
+            ops and the scalar core only issues the chunk loop plus one
+            whole-tile AABB cull per chunk (the flat TPU stand-in for the
+            reference's per-ray BVH descent, BVHNode.cpp:385-446). The
+            running winner is a bitcast int32 key
+            [t bits & ~127 | 7-bit chunk-local prim id] reduced over the
+            prim (sublane) axis: positive-f32 bit patterns order like the
+            floats, so int-min == float-min, and the id steals the low
+            mantissa bits (~2^-17 relative selection fuzz between
+            near-coincident surfaces; the winner's t itself is re-derived
+            EXACTLY below). Winner t / normal / resolved material row come
+            from chunked per-lane gathers (gather_fields) ONCE per bounce.
+            Quads run a per-quad masked loop after the sphere winner is
+            materialized (vscan scenes carry few quads; quad-heavy use_bvh
+            scenes take the shared-stack mode instead, _kernel_modes)."""
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+            eps = 1e-12
+            idx = 1.0 / jnp.where(jnp.abs(dx) < eps,
+                                  jnp.where(dx < 0, -eps, eps), dx)
+            idy = 1.0 / jnp.where(jnp.abs(dy) < eps,
+                                  jnp.where(dy < 0, -eps, eps), dy)
+            idz = 1.0 / jnp.where(jnp.abs(dz) < eps,
+                                  jnp.where(dz < 0, -eps, eps), dz)
+            C_small = C_v - 1 if vscan_big else C_v
+            pid_col = jax.lax.broadcasted_iota(jnp.int32, (VCHUNK, 1), 0)
+            pid_big = jax.lax.broadcasted_iota(
+                jnp.int32, (max(vscan_big, 1), 1), 0)
+
+            def chunk_cols(blk):
+                return (blk[:, 0:1], blk[:, 1:2], blk[:, 2:3], blk[:, 3:4],
+                        blk[:, 4:5], blk[:, 5:6], blk[:, 6:7])
+
+            def test_rows(cols, pid0, motion):
+                """(n prims, 128 rays) outer-product sphere tests, one
+                ray-row at a time; returns the block's min winner keys
+                (R, 128). Prim fields broadcast from (n, 1) columns of the
+                VMEM block, ray fields from (1, 128) plane row slices.
+                `motion` is static: whole-static chunks (the packer sorts
+                statics first, boundary C_stat) skip the 6 motion ops.
+                Invalid/pad prims carry r2m = -BIG in col 6, so (disc > 0)
+                rejects them without a dedicated valid compare."""
+                cxp, cyp, czp, cdx_, cdy_, cdz_, r2p = cols
+                out = []
+                for s in range(R):
+                    sl = slice(s, s + 1)
+                    if motion:
+                        scx = cxp + tm[sl] * cdx_
+                        scy = cyp + tm[sl] * cdy_
+                        scz = czp + tm[sl] * cdz_
+                    else:
+                        scx, scy, scz = cxp, cyp, czp
+                    ocx = scx - ox[sl]
+                    ocy = scy - oy[sl]
+                    ocz = scz - oz[sl]
+                    h = dx[sl] * ocx + dy[sl] * ocy + dz[sl] * ocz
+                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2p
+                    disc = h * h - a[sl] * cc
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    r0 = (h - sq) * inv_a[sl]
+                    r1 = (h + sq) * inv_a[sl]
+                    # nearest admissible root; no best_t term needed — the
+                    # key min performs the same rejection exactly
+                    t_p = jnp.where(r0 > T_MIN, r0, r1)
+                    take = (disc > 0.0) & (t_p > T_MIN)
+                    tt = jnp.where(take, t_p, BIG)
+                    key = (jax.lax.bitcast_convert_type(tt, jnp.int32)
+                           & ~127) | pid0
+                    out.append(jnp.min(key, axis=0, keepdims=True))
+                return jnp.concatenate(out, axis=0)            # (R, 128)
+
+            def box_any(k, best_key):
+                """Whole-tile cull: does ANY live lane's ray hit chunk k's
+                AABB before its current best t (key bitcast back ≈ t)?
+                One scalar branch per chunk per bounce — per-row branching
+                was measured ~2K cycles per lax.cond on v5e, wiping out
+                its finer culling."""
+                best_t = jax.lax.bitcast_convert_type(best_key, jnp.float32)
+                t0x = (csph_ref[0, k] - ox) * idx
+                t1x = (csph_ref[3, k] - ox) * idx
+                t0y = (csph_ref[1, k] - oy) * idy
+                t1y = (csph_ref[4, k] - oy) * idy
+                t0z = (csph_ref[2, k] - oz) * idz
+                t1z = (csph_ref[5, k] - oz) * idz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), T_MIN))
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+                want = alive & (tn <= tf)
+                return jnp.sum(jnp.where(want, 1.0, 0.0)) > 0.0
+
+            def chunk_hits(c, cr, motion):
+                bk, bc = cr
+                blk = ntab_ref[pl.ds(c * VCHUNK, VCHUNK), :]   # (128, 8)
+                ck = test_rows(chunk_cols(blk), pid_col, motion)
+                better = ck < bk
+                return (jnp.where(better, ck, bk),
+                        jnp.where(better, c + izero, bc))
+
+            def chunk_body_static(c, cr):
+                return jax.lax.cond(box_any(c, cr[0]),
+                                    lambda cr_: chunk_hits(c, cr_, False),
+                                    lambda cr_: cr_, cr)
+
+            def chunk_body_moving(c, cr):
+                return jax.lax.cond(box_any(c, cr[0]),
+                                    lambda cr_: chunk_hits(
+                                        c, cr_, vscan_motion),
+                                    lambda cr_: cr_, cr)
+
+            # leading whole-static chunks (packer boundary C_stat) run the
+            # motion-free test even in mixed static/moving scenes
+            cr0 = (izero + _BIG_KEY, izero)
+            C_stat_k = C_small if not vscan_motion else min(vscan_stat,
+                                                            C_small)
+            cr0 = jax.lax.fori_loop(0, C_stat_k, chunk_body_static, cr0)
+            best_key, best_chunk = jax.lax.fori_loop(
+                C_stat_k, C_small, chunk_body_moving, cr0)
+            if vscan_big:
+                # the big-prim block: tested unconditionally as a cheap
+                # (8, 128) strip — no box could cull a ground-sized sphere
+                # anyway, and excluding the giants keeps every Morton
+                # chunk's AABB tight enough to cull
+                blk = ntab_ref[pl.ds(C_small * VCHUNK, vscan_big), :]
+                ck = test_rows(chunk_cols(blk), pid_big, vscan_big_motion)
+                better = ck < best_key
+                best_key = jnp.where(better, ck, best_key)
+                best_chunk = jnp.where(better, C_small + izero, best_chunk)
+
+            hit = best_key < _BIG_KEY
+            pid = jnp.where(hit, best_chunk * VCHUNK + (best_key & 127), 0)
+            (cxw, cyw, czw, cdxw, cdyw, cdzw, _r2w, radw) = gather_fields(
+                ptab_ref, C_vg, 8, pid)
+            if vscan_motion:
+                scx = cxw + tm * cdxw
+                scy = cyw + tm * cdyw
+                scz = czw + tm * cdzw
+            else:
+                scx, scy, scz = cxw, cyw, czw
+            ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
+            h = _dot3(dx, dy, dz, ocx, ocy, ocz)
+            cc = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - radw * radw
+            sq = jnp.sqrt(jnp.maximum(h * h - a * cc, 0.0))
+            r0 = (h - sq) * inv_a
+            r1 = (h + sq) * inv_a
+            tw = jnp.where(r0 > T_MIN, r0, r1)          # exact winner t
+            best_t = jnp.where(hit, tw, zero + BIG)
+            t_safe = jnp.where(hit, tw, 1.0)
+            inv_r = 1.0 / jnp.maximum(radw, 1e-12)
+            nx = jnp.where(hit, (ox + t_safe * dx - scx) * inv_r, 0.0)
+            ny = jnp.where(hit, (oy + t_safe * dy - scy) * inv_r, 0.0)
+            nz = jnp.where(hit, (oz + t_safe * dz - scz) * inv_r, 0.0)
+            mats = tuple(jnp.where(hit, mv, 0.0)
+                         for mv in gather_fields(pmtab_ref, C_vg, PMCOLS,
+                                                 pid))
+            if Q:
+                # quad rows: primmat quad rows start at 0 in vscan mode
+                # (sphere rows moved to the VMEM gather tables)
+                def quad_body_v(q, cr):
+                    best_t, nx, ny, nz, mats = cr
+                    qnx, qny, qnz = quadf_ref[9, q], quadf_ref[10, q], \
+                        quadf_ref[11, q]
+                    denom = _dot3(dx, dy, dz, qnx, qny, qnz)
+                    par = jnp.abs(denom) < 1e-8
+                    t_q = (quadf_ref[12, q]
+                           - _dot3(ox, oy, oz, qnx, qny, qnz)) \
+                        / jnp.where(par, 1.0, denom)
+                    hx = ox + t_q * dx - quadf_ref[0, q]
+                    hy = oy + t_q * dy - quadf_ref[1, q]
+                    hz = oz + t_q * dz - quadf_ref[2, q]
+                    c1 = _cross3(hx, hy, hz, quadf_ref[6, q],
+                                 quadf_ref[7, q], quadf_ref[8, q])
+                    alpha = _dot3(quadf_ref[13, q], quadf_ref[14, q],
+                                  quadf_ref[15, q], *c1)
+                    c2 = _cross3(quadf_ref[3, q], quadf_ref[4, q],
+                                 quadf_ref[5, q], hx, hy, hz)
+                    beta = _dot3(quadf_ref[13, q], quadf_ref[14, q],
+                                 quadf_ref[15, q], *c2)
+                    take = (~par & (alpha >= 0.0) & (alpha <= 1.0)
+                            & (beta >= 0.0) & (beta <= 1.0)
+                            & (t_q > T_MIN) & (t_q < best_t)
+                            & (quadf_ref[17, q] > 0.5))
+                    best_t = jnp.where(take, t_q, best_t)
+                    nx = jnp.where(take, qnx + zero, nx)
+                    ny = jnp.where(take, qny + zero, ny)
+                    nz = jnp.where(take, qnz + zero, nz)
+                    mats = tuple(
+                        jnp.where(take, primmat_ref[ci, q], mats[ci])
+                        for ci in range(PMCOLS))
+                    return best_t, nx, ny, nz, mats
+
+                best_t, nx, ny, nz, mats = jax.lax.fori_loop(
+                    0, Q, quad_body_v, (best_t, nx, ny, nz, mats))
+                hit = best_t < BIG * 0.5
+                t_safe = jnp.where(hit, best_t, 1.0)
             px = ox + t_safe * dx
             py = oy + t_safe * dy
             pz = oz + t_safe * dz
@@ -1105,58 +1389,6 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                                   jnp.where(dz < 0, -eps, eps), dz)
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
-            izero = pix * 0
-
-            def gather_fields(ref, C, idx_pl, fields):
-                """Per-lane table lookups: out[k][lane] = table_k[idx[lane]].
-
-                Two statically-selected lowerings (RTX_LANE_GATHER):
-                  take — one take_along_axis gather + select per 128-entry
-                    chunk, on INT32 views (bit-exact by construction).
-                    FAULTS v5e when traced inside lax.while_loop (minimal
-                    repro, round 3): the standalone gather is fine, the
-                    same gather under a data-dependent while_loop crashes
-                    the TPU worker process — so this mode is only for
-                    experiments outside traversal loops.
-                  onehot — a one-hot MXU matmul per chunk: build the
-                    (lanes, 128) 0/1 indicator once from lo, mask by the
-                    chunk id, and contract against the chunk's (128, F)
-                    field block at Precision.HIGHEST. Exactly one indicator
-                    per row is nonzero and every table value is a REAL f32
-                    (see _pack_lane_tables), so value*1.0 accumulation is
-                    bit-exact; no vector-gather primitive is involved.
-                """
-                hi = jax.lax.shift_right_logical(idx_pl, 7)
-                lo = idx_pl & 127
-                if lane_gather == "onehot":
-                    iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (R, 128, 128), 2)
-                    ohlo = (lo[:, :, None] == iota).astype(jnp.float32)
-                    outs = [zero] * len(fields)
-                    for c in range(C):
-                        m = (hi == c).astype(jnp.float32)
-                        oh = (ohlo * m[:, :, None]).reshape(R * 128, 128)
-                        blk = jnp.stack(
-                            [ref[f * C + c] for f in fields], axis=1)
-                        res = jax.lax.dot_general(
-                            oh, blk, (((1,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-                        res = res.reshape(R, 128, len(fields))
-                        outs = [o + res[:, :, k]
-                                for k, o in enumerate(outs)]
-                    return outs
-                outs = [izero] * len(fields)
-                for c in range(C):
-                    m = hi == c
-                    for k, f in enumerate(fields):
-                        row = ref[f * C + c:f * C + c + 1, :]     # (1, 128)
-                        full = jax.lax.bitcast_convert_type(
-                            row, jnp.int32) + izero
-                        g = jnp.take_along_axis(full, lo, axis=1)
-                        outs[k] = jnp.where(m, g, outs[k])
-                return [jax.lax.bitcast_convert_type(o, jnp.float32)
-                        for o in outs]
 
             END = B_n
             node0 = jnp.where(alive, izero, izero + END)
@@ -1167,7 +1399,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 trav = (node < END) & (pcnt == 0)
                 nidx = jnp.minimum(node, END - 1)
                 (x0, x1, y0, y1, z0, z1, missf, hoff, cntf) = gather_fields(
-                    ntab_ref, C_n, nidx, list(range(NODE_FIELDS)))
+                    ntab_ref, C_n, NODE_FIELDS, nidx)
                 miss_l = missf.astype(jnp.int32)
                 hof = hoff.astype(jnp.int32)
                 cnt = cntf.astype(jnp.int32)
@@ -1201,8 +1433,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                     do_p = pcnt > 0
                     pidx = jnp.minimum(poff, P_n - 1)
                     (scx0, scy0, scz0, cdx, cdy, cdz,
-                     rad) = gather_fields(ptab_ref, C_p, pidx,
-                                          list(range(7)))
+                     rad) = gather_fields(ptab_ref, C_p, 7, pidx)
                     scx = scx0 + tm * cdx
                     scy = scy0 + tm * cdy
                     scz = scz0 + tm * cdz
@@ -1240,7 +1471,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             hit = win >= 0
             widx = jnp.maximum(win, 0)
             (scx0, scy0, scz0, cdx, cdy, cdz, rad) = gather_fields(
-                ptab_ref, C_p, widx, list(range(7)))
+                ptab_ref, C_p, 7, widx)
             scx = scx0 + tm * cdx
             scy = scy0 + tm * cdy
             scz = scz0 + tm * cdz
@@ -1252,8 +1483,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             nx = (px - scx) * inv_r
             ny = (py - scy) * inv_r
             nz = (pz - scz) * inv_r
-            mats = tuple(gather_fields(pmtab_ref, C_p, widx,
-                                       list(range(PMCOLS))))
+            mats = tuple(gather_fields(pmtab_ref, C_p, PMCOLS, widx))
             front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
             return (hit, best_t, px, py, pz, nx * sgn, ny * sgn, nz * sgn,
@@ -1600,6 +1830,10 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                     (hit, best_t, px, py, pz, nx, ny, nz, front,
                      mats) = closest_hit_lane(ox, oy, oz, dx, dy, dz, tm,
                                               alive)
+                elif vscan_mode:
+                    (hit, best_t, px, py, pz, nx, ny, nz, front,
+                     mats) = closest_hit_vscan(ox, oy, oz, dx, dy, dz, tm,
+                                               alive)
                 else:
                     (hit, best_t, px, py, pz, nx, ny, nz, front,
                      mats) = closest_hit_scan(ox, oy, oz, dx, dy, dz, tm,
@@ -1629,7 +1863,11 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                                          m].astype(jnp.int32),
                                 mat)
                     else:
-                        med_base = 0 if lane_mode else S + Q
+                        # primmat medium rows follow whatever else each
+                        # mode keeps in SMEM: lane = mediums only, vscan =
+                        # quads then mediums, stack-BVH = the full table
+                        med_base = (0 if lane_mode
+                                    else Q if vscan_mode else S + Q)
                         for m in range(M):
                             sel = med_on & (med_row == float(m))
                             mats = tuple(
@@ -1947,20 +2185,31 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
     return kernel
 
 
+def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, **kw):
+    """Public entry: resolves the RTX_* kernel-mode env knobs OUTSIDE the
+    jit boundary and threads them through as the static `_env` argument, so
+    changing an env var mid-process recompiles instead of silently reusing
+    a kernel compiled under the old setting (round-3 ADVICE item 1). When
+    called inside an outer jit (compacted schedule, train step) the env is
+    read at that trace time — same caveat, one level up."""
+    kw.setdefault("_env", _kernel_env())
+    return _render_pass_pallas(flat, cam, seed, sample_start, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
                      "sky_gradient", "rows_per_tile", "interpret",
-                     "hard_slots", "light_src", "want_tex", "cap"))
-def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
-                       width: int, height: int, n_strata: int,
-                       max_depth: int, n_samples: int,
-                       sky_gradient: bool = False,
-                       rows_per_tile: int | None = None,
-                       interpret: bool = False, row0=0, cotangent=None,
-                       hard_slots: tuple = (), light_src: tuple = (),
-                       want_tex: bool = True, cap: int = 0, carry=None,
-                       pix_lanes=None):
+                     "hard_slots", "light_src", "want_tex", "cap", "_env"))
+def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
+                        width: int, height: int, n_strata: int,
+                        max_depth: int, n_samples: int,
+                        sky_gradient: bool = False,
+                        rows_per_tile: int | None = None,
+                        interpret: bool = False, row0=0, cotangent=None,
+                        hard_slots: tuple = (), light_src: tuple = (),
+                        want_tex: bool = True, cap: int = 0, carry=None,
+                        pix_lanes=None, _env: tuple = None):
     """Sum of n_samples stratified samples, (height, width, 3) — fused kernel.
 
     Drop-in replacement for models.render._render_pass (same RNG streams,
@@ -1994,6 +2243,8 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         permutation. n_lanes must equal n_tiles*rows_per_tile*128 of the
         identity layout.
     """
+    if _env is None:
+        _env = _kernel_env()
     S = flat.sph_center.shape[0]
     Q = flat.quad_corner.shape[0]
     L = flat.n_lights
@@ -2004,33 +2255,22 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     if not M:
         medf = medf[:1]                # unread; keep SMEM slim
         primmatf = primmatf[:S + Q]    # drop medium rows
-    unroll = _use_unrolled(S, Q, int(mati.shape[0]), int(texf.shape[0]))
-    # per-lane skip-link traversal: all-sphere BVH scenes whose node/prim
-    # ids fit the 14-bit control words (_pack_lane_tables); quad-bearing
-    # scenes take the shared-stack whole-tile traversal instead. OPT-IN
-    # until the v5e worker-crash fault is fixed (_lane_bvh_enabled)
-    lane_mode = (_lane_bvh_enabled() and bool(flat.use_bvh) and not unroll
-                 and flat.n_quads == 0
-                 and flat.bvh_bbox_min.shape[0] <= LANE_BVH_MAX
-                 and flat.bvh_prims.shape[0] <= LANE_BVH_MAX)
-    bvh_mode = bool(flat.use_bvh) and not unroll and not lane_mode
+    unroll, lane_mode, bvh_mode, vscan_mode = _kernel_modes(flat, _env)
     if rows_per_tile is None:
         # measured sweet spots (BASELINE.md): 32 rows for unrolled Cornell-
-        # class scenes; 16 for prim-scan/BVH scenes, where smaller tiles make
-        # whole-tile cluster/node culling noticeably tighter; 8 for per-lane
-        # traversal (smaller tiles bound the per-tile max step count)
+        # class scenes; 16 for vscan/stack-BVH scenes, where smaller tiles
+        # make whole-tile chunk/node culling noticeably tighter; 8 for per-
+        # lane traversal (smaller tiles bound the per-tile max step count)
         rows_per_tile = 32 if unroll else (8 if lane_mode else 16)
     csph = jnp.zeros((1, 6), jnp.float32)
-    cgrp = jnp.zeros((1, 6), jnp.float32)
-    ntab = jnp.zeros((4, 128), jnp.float32)
-    ptab = jnp.zeros((7, 128), jnp.float32)
-    pmtab = jnp.zeros((PMCOLS, 128), jnp.float32)
-    C_n = C_p = B_n = P_n = 1
+    ntab = jnp.zeros((8, 128), jnp.float32)
+    ptab = jnp.zeros((8, 128), jnp.float32)
+    pmtab = jnp.zeros((24, 128), jnp.float32)
+    C_n = C_p = B_n = P_n = C_v = C_vg = 1
+    n_big = C_stat = 0
     nodef = jnp.zeros((1, 6), jnp.float32)
     nodei = jnp.zeros((1, 5), jnp.int32)
     bprims = jnp.zeros((1,), jnp.int32)
-    n_clusters = 0
-    n_groups = 0
     if unroll:
         primmatf = primmatf[:1]        # scan tables unused; keep SMEM slim
     else:
@@ -2052,15 +2292,13 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                                flat.bvh_leaf_sph], axis=1)
             bprims = flat.bvh_prims
         else:
-            sphf, pm_s, cbox, gbox = _cluster_spheres(sphf, primmatf[:S])
-            if cbox is not None:
-                primmatf = jnp.concatenate([pm_s, primmatf[S:]], axis=0)
-                S = sphf.shape[0]      # padded to a CLUSTER multiple
-                csph = cbox
-                n_clusters = int(cbox.shape[0])
-            if gbox is not None:
-                cgrp = gbox
-                n_groups = int(gbox.shape[0])
+            # vectorized prim-chunk scan: sphere + per-prim material data
+            # move to VMEM gather tables (ntab slot carries the (C*128, 8)
+            # prim-row table); SMEM keeps quad + medium rows only
+            (ntab, ptab, pmtab, csph, C_v, C_vg, C_stat,
+             n_big) = _pack_vscan_tables(flat, primmatf[:S])
+            sphf = sphf[:1]
+            primmatf = primmatf[S:]
 
     n_pix = width * height
     R = rows_per_tile
@@ -2107,8 +2345,12 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=NT_k, M=M,
         R=R, width=width, n_pix=n_pix, n_strata=n_strata,
         max_depth=max_depth, n_samples=n_samples, sky_gradient=sky_gradient,
-        unroll_prims=unroll, n_clusters=n_clusters, n_groups=n_groups,
-        lane_mode=lane_mode, C_n=C_n, C_p=C_p, B_n=B_n, P_n=P_n,
+        unroll_prims=unroll,
+        lane_mode=lane_mode, vscan_mode=vscan_mode, C_v=C_v, C_vg=C_vg,
+        vscan_big=n_big, vscan_motion=flat.has_motion, vscan_stat=C_stat,
+        vscan_big_motion=(flat.has_motion
+                          and int(flat.n_sph_active_static) < VSCAN_BIG),
+        C_n=C_n, C_p=C_p, B_n=B_n, P_n=P_n,
         grad_tex=grad_tex,
         bvh_mode=bvh_mode, has_noise=flat.has_noise,
         MQ=int(flat.med_quad_corner.shape[1]),
@@ -2117,7 +2359,7 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                     else ((TEX_SOLID, 0, 0),) * NT_k),
         hard_slots=hard_slots, light_src=light_src[:max(L, 1)],
         want_tex=want_tex, cap=cap, resume=carry is not None, NT_g=NT_g,
-        lane_gather=os.environ.get("RTX_LANE_GATHER", "onehot"))
+        lane_gather=_env[1])
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -2162,13 +2404,20 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     # 8000-prim table costs its actual byte size. All kernel reads are
     # scalar [col, row].
     inputs += [iscal, fscal, sphf.T, quadf.T, prim_mat, lightf.T, mati.T,
-               matf.T, texf.T, primmatf.T, csph.T, cgrp.T, medf.T, nodef.T,
+               matf.T, texf.T, primmatf.T, csph.T, medf.T, nodef.T,
                nodei.T, bprims]
-    in_specs += [smem()] * 16
+    in_specs += [smem()] * 15
     # per-lane-gather tables live in VMEM (gather operands), whole-array
     inputs += [ntab, ptab, pmtab]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
+    # lane mode keeps big per-lane gather scratch (one-hot matmul buffers +
+    # (R,128,nfp) field blocks) live across the traversal while_loop; the
+    # default 16 MiB scoped-VMEM budget is ~3 MiB short at R=8, so raise the
+    # kernel's limit (v5e has 128 MiB/core; 64 MiB leaves the double-buffered
+    # tile pipeline plenty)
+    params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+              if lane_mode else None)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -2177,6 +2426,7 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((BVH_STACK,), jnp.int32)],
         interpret=interpret,
+        compiler_params=params,
     )(*inputs)
 
     if grad_tex:
@@ -2200,14 +2450,15 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     jax.jit,
     static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
                      "sky_gradient", "rows_per_tile", "interpret", "cap",
-                     "phases"))
+                     "phases", "caps"))
 def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
                                  width: int, height: int, n_strata: int,
                                  max_depth: int, n_samples: int,
                                  sky_gradient: bool = False,
                                  rows_per_tile: int | None = None,
                                  interpret: bool = False, row0=0,
-                                 cap: int = 0, phases: int = 2):
+                                 cap: int = 0, phases: int = 2,
+                                 caps: tuple | None = None):
     """Two-phase capped + compacted wavefront schedule (forward renders).
 
     The single-pass megakernel spins each tile until its SLOWEST lane
@@ -2241,20 +2492,24 @@ def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
     vs 95-97 at 89/128 (BASELINE.md round 3). Returns the (height, width, 3)
     radiance-sum image.
     """
-    if rows_per_tile is None:
-        S = flat.sph_center.shape[0]
-        Q = flat.quad_corner.shape[0]
-        unroll = _use_unrolled(S, Q, flat.mat_type.shape[0],
-                               flat.tex_type.shape[0])
-        rows_per_tile = 32 if unroll else 16
-    if cap == 0:
-        cap = max(int(6.5 * n_samples), max_depth)
-    # capped phases then one uncapped finisher; the second cap at ~0.4x
-    # recovers another slice of the tail (exact replay: 0.57 -> 0.62
-    # utilization on Cornell spp16) before per-pass overhead dominates
-    caps = (cap,) if phases <= 2 else (
-        (cap,) + tuple(max(int(cap * 0.4 ** i), max_depth // 2)
-                       for i in range(1, phases - 1)))
+    # rows_per_tile=None flows through to every inner pass, which each
+    # derive the same per-mode default deterministically — so the lane/
+    # vscan defaults stay consistent across the capped + resume passes
+    # (round-3 ADVICE item 2)
+    if caps is None:
+        if cap == 0:
+            cap = max(int(6.5 * n_samples), max_depth)
+        # capped phases then one uncapped finisher; the second cap at ~0.4x
+        # recovers another slice of the tail (exact replay: 0.57 -> 0.62
+        # utilization on Cornell spp16) before per-pass overhead dominates.
+        # `caps` overrides both knobs with an explicit phase schedule —
+        # round-4 replay on bouncing_spheres shows equal REPEATED caps
+        # (e.g. 4x12 at spp9) reach 0.68 utilization where one big cap
+        # stalls at 0.33: the remaining-samples sort key gains resolution
+        # as samples advance, so several short phases beat one long one
+        caps = (cap,) if phases <= 2 else (
+            (cap,) + tuple(max(int(cap * 0.4 ** i), max_depth // 2)
+                           for i in range(1, phases - 1)))
     common = dict(width=width, height=height, n_strata=n_strata,
                   max_depth=max_depth, n_samples=n_samples,
                   sky_gradient=sky_gradient, rows_per_tile=rows_per_tile,

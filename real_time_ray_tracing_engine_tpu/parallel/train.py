@@ -95,6 +95,12 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
         fwd_pass = render_pass_pallas_compacted
     else:
         fwd_pass = render_pass_pallas
+        if not interpret:
+            # name the decision like every other gate (round-3 ADVICE 8):
+            # a wide sample-axis mesh silently lands here
+            print(f"[INFO] train forward: single-pass schedule "
+                  f"(spp_local={spp_local} < 8; compacted straggler "
+                  "recovery needs more samples per shard)", flush=True)
 
     @jax.custom_vjp
     def shard_render(params, cam, seed_f, row0_f, s0_f):

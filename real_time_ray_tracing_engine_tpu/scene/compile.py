@@ -323,6 +323,12 @@ def compile_scene(scene: S.Scene, use_bvh: bool = False) -> FlatScene:
         n_mediums=len(med),
         use_bvh=False,
         has_noise=any(t["type"] == TEX_NOISE for t in tab.tex_rows),
+        has_motion=any(np.any(np.asarray(s["cdelta"], np.float32) != 0)
+                       for s in spheres_p),
+        n_sph_active_static=sum(
+            1 for i, s in enumerate(spheres_p)
+            if i < n_world_sph and s["radius"] > 0
+            and not np.any(np.asarray(s["cdelta"], np.float32) != 0)),
         checker_depth=_checker_depth(tab.tex_rows),
         tex_struct=tuple((int(t["type"]), int(t["even"]), int(t["odd"]))
                          for t in tab.tex_rows),

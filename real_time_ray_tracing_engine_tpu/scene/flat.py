@@ -113,6 +113,15 @@ class FlatScene:
     # fold the dead branch, and it dominates the whole integrator's HBM
     # traffic (measured 189 GB -> 7 GB per depth-8 600px Cornell pass).
     has_noise: bool = flax.struct.field(pytree_node=False, default=True)
+    # Any moving sphere (center2)? Static so the vectorized prim-chunk scan
+    # can skip the per-ray motion displacement (6 of ~34 vector ops per
+    # prim-chunk block) for static scenes (SphereKernels motion analogue).
+    has_motion: bool = flax.struct.field(pytree_node=False, default=True)
+    # #(world-active, r>0, non-moving) spheres — static so the vscan packer
+    # can segregate static prims into leading Morton chunks whose test
+    # blocks skip the motion ops even in mixed static/moving scenes.
+    n_sph_active_static: int = flax.struct.field(pytree_node=False,
+                                                 default=0)
     # Max checker-nesting depth in the texture DAG (CheckerTexture.cpp:14-55
     # allows recursive even/odd children). Static so texture_value can
     # resolve chains with a fixed unrolled loop: depth 1 = plain checkers,

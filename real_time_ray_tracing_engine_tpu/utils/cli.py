@@ -119,9 +119,14 @@ def main(argv=None) -> int:
             img = render_on_mesh(scene, use_bvh=args.bvh, seed=args.seed,
                                  engine=args.engine)
         else:
+            # batch size follows the schedule choice: the auto/compacted
+            # schedules need >=8 samples per batch to trigger (round-3
+            # ADVICE 4 — a blanket 16 silently changed per-batch memory
+            # and progress granularity for --schedule single)
+            spb = 4 if args.schedule == "single" else 16
             img = rt.render(scene, use_bvh=args.bvh, seed=args.seed,
                             engine=args.engine, schedule=args.schedule,
-                            samples_per_batch=16,
+                            samples_per_batch=spb,
                             progress=lambda s, t: print(
                                 f"\r[INFO] sample {s}/{t}", end="",
                                 file=sys.stderr))

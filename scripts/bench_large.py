@@ -24,7 +24,7 @@ import real_time_ray_tracing_engine_tpu as rt  # noqa: E402
 from real_time_ray_tracing_engine_tpu.scene.compile import compile_scene  # noqa: E402
 from real_time_ray_tracing_engine_tpu.models import camera as cam_mod  # noqa: E402
 from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (  # noqa: E402
-    render_pass_pallas, pallas_gate_reason)
+    render_pass_pallas, render_pass_pallas_compacted, pallas_gate_reason)
 
 
 def grid_scene(n=17):
@@ -46,7 +46,7 @@ def grid_scene(n=17):
     return rt.Scene(objects=objs, lights=[], camera=cam, name="grid")
 
 
-def bench(name, scene, *, use_bvh, depth, spp, R, reps=3):
+def bench(name, scene, *, use_bvh, depth, spp, R, reps=3, compacted=False):
     flat = compile_scene(scene, use_bvh=use_bvh)
     reason = pallas_gate_reason(flat)
     if reason is not None:
@@ -57,7 +57,8 @@ def bench(name, scene, *, use_bvh, depth, spp, R, reps=3):
     seed = jnp.asarray(0, jnp.uint32)
 
     def run(s0):
-        return render_pass_pallas(
+        fn = render_pass_pallas_compacted if compacted else render_pass_pallas
+        return fn(
             flat, cam, seed, jnp.asarray(s0, jnp.int32), width=w, height=h,
             n_strata=3, max_depth=depth, n_samples=spp,
             sky_gradient=scene.camera.sky_gradient, rows_per_tile=R,
@@ -117,6 +118,13 @@ def bench_sync(name, scene, *, use_bvh, depth, spp, R, reps=2):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    if which == "scanc":
+        bench("bouncing/compacted",
+              rt.builders.bouncing_spheres(image_width=400),
+              use_bvh=False, depth=50, spp=9, R=R, compacted=True)
+    if which == "gridc":
+        bench("grid4913/compacted", grid_scene(), use_bvh=False, depth=8,
+              spp=9, R=R, compacted=True)
     if which in ("scan", "all"):
         bench("bouncing/scan", rt.builders.bouncing_spheres(image_width=400),
               use_bvh=False, depth=50, spp=9, R=R)
