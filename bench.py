@@ -55,9 +55,9 @@ def main():
 
     def run(sample_start):
         if eng == "pallas":
-            # two-phase capped + lane-compacted schedule: the production
-            # forward path (models.render auto schedule; +34-40% over the
-            # single pass on v5e by recovering straggler-lane idle time)
+            # capped + lane-compacted schedule: the production forward path
+            # (models.render auto schedule; recovers straggler-lane idle
+            # time — round-3/4 measurements in BASELINE.md)
             from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas \
                 import render_pass_pallas_compacted
             return render_pass_pallas_compacted(
@@ -70,14 +70,27 @@ def main():
             max_depth=depth, sky_gradient=False, n_samples=spp)
         return fn(cam, seed, jnp.asarray(sample_start, jnp.int32))
 
+    reps = 3
+
+    # reps chain DEVICE-SIDE in one jitted scan with a single host fetch
+    # (VERDICT round-3 item 3): under the axon tunnel a per-rep dispatch +
+    # fetch costs ~40 ms, which at 600px dwarfs the pass itself and made
+    # BENCH_r03's forward number measure the tunnel, not the kernel
+    @jax.jit
+    def run_chain(_):
+        def body(acc, i):
+            return acc + run((i + 1) * spp), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((h, w, 3), jnp.float32),
+            jnp.arange(reps, dtype=jnp.int32))
+        return acc
+
     out = np.asarray(run(0))                      # warmup/compile + fetch
     assert np.isfinite(out).all(), "non-finite radiance"
+    out = np.asarray(run_chain(0))                # compile the chain
 
-    reps = 3
     t0 = time.perf_counter()
-    for i in range(reps):
-        out = run((i + 1) * spp)
-    np.asarray(out)
+    out = np.asarray(run_chain(0))
     dt = (time.perf_counter() - t0) / reps
 
     mpaths_s = w * h * spp / dt / 1e6
@@ -139,10 +152,19 @@ def bench_fwd_bwd(depth=50, fwd_line=None):
         assert np.isfinite(np.asarray(g[k])).all(), k
 
     reps = 3
+
+    # device-chained reps, one fetch (see main's run_chain)
+    @jax.jit
+    def chain(params):
+        def body(acc, i):
+            l, g = loss_grad(params, i.astype(jnp.float32) + 1.0)
+            return acc + l + g["tex_color"].sum(), None
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0),
+                              jnp.arange(reps, dtype=jnp.int32))
+        return acc
+    np.asarray(chain(params))                     # compile
     t0 = time.perf_counter()
-    for i in range(reps):
-        l, g = loss_grad(params, jnp.asarray(float(i + 1)))
-    np.asarray(l), np.asarray(g["tex_color"])
+    np.asarray(chain(params))
     dt = (time.perf_counter() - t0) / reps
 
     mpaths_s = w * h * spp / dt / 1e6

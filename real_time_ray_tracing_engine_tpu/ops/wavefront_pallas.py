@@ -287,17 +287,17 @@ MAX_GRAD_TEXS = 32
 
 def pallas_scan_grad_gate_reason(flat: FlatScene) -> str | None:
     """Why the tex_color-ONLY fused backward cannot run on this scene
-    (None = it can — any kernel mode, incl. scan/BVH/lane). Hard-parameter
-    families (fuzz/IOR/geometry) additionally need unrolled mode; callers
-    check their requested slots separately (parallel.train)."""
-    r = pallas_gate_reason(flat)
-    if r is not None:
-        return r
-    NT = flat.tex_color.shape[0]
-    if NT > MAX_GRAD_TEXS:
-        return (f"{NT} texture rows exceed MAX_GRAD_TEXS={MAX_GRAD_TEXS} "
-                "in-kernel weight planes (replay backward)")
-    return None
+    (None = it can — any kernel mode, incl. vscan/BVH/lane, any texture
+    count). Hard-parameter families (fuzz/IOR/geometry) additionally need
+    unrolled mode; callers check their requested slots separately
+    (parallel.train).
+
+    Texture tables up to MAX_GRAD_TEXS rows use the exact per-lane
+    weight-plane backward; bigger tables (e.g. bouncing_spheres' 460 rows)
+    use the O(1)-in-NT two-phase suffix-radiance estimator
+    (_make_kernel grad_suffix) — exact except that a channel whose albedo
+    is exactly 0 gets a 0 scatter-gradient (one-sided boundary case)."""
+    return pallas_gate_reason(flat)
 
 
 # trainable-field <-> hard-slot mapping shared with parallel/train.py
@@ -748,7 +748,26 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             "scan/BVH grad kernel: tex_color only"
         assert not cap and not resume, \
             "capped/compacted scheduling is forward-only"
-    n_wp = 3 * NT_g if (grad_tex and want_tex) else 0
+    # O(1)-in-NT suffix-radiance backward for big texture tables (round-4,
+    # VERDICT item 2): weight planes cost 6 VMEM planes PER texture row, so
+    # beyond MAX_GRAD_TEXS the kernel switches to a two-phase in-lane
+    # estimator — trace each path once to learn its total radiance T
+    # (phase A), then re-trace the SAME sample (identical counter-RNG
+    # streams) routing g·[emit·th + scatter·(T − P_after)/at] to each
+    # event's texture row via a 128-row one-hot reduction into shared
+    # per-tile accumulators (phase B). ~2.2x a forward pass, independent of
+    # NT — this is what lets the 460-texture bouncing_spheres scene train
+    # at kernel speed instead of the ~600x pure-JAX replay. Exactness
+    # caveat: a channel whose albedo is exactly 0 reports a 0 gradient for
+    # scatter events (the suffix (T−P) is 0 there; the true one-sided
+    # derivative can be positive) — the weight-plane path stays exact and
+    # is used whenever NT fits.
+    grad_suffix = grad_tex and want_tex and NT_g > MAX_GRAD_TEXS
+    if grad_suffix:
+        assert K == 0, "suffix tex backward is tex_color-only"
+    n_wp = (3 * NT_g if (grad_tex and want_tex and not grad_suffix)
+            else 0)
+    NTc = -(-NT_g // 128) if grad_suffix else 0
 
     # static map (table, row, col) -> theta slot index for the SMEM-read
     # helpers below; sphere-light rows alias their source sphere's slots
@@ -1784,12 +1803,34 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             if grad_tex:
                 Wp = list(st[17:17 + n_wp])        # d th_c / d tex[t, c]
                 Gp = list(st[17 + n_wp:17 + 2 * n_wp])  # tex cotangents
-                Dst = list(st[17 + 2 * n_wp:17 + 2 * n_wp + 9 * K])
-                dG = list(st[17 + 2 * n_wp + 9 * K:])   # hard cotangents
+                gbase = 17 + 2 * n_wp
+                Dst = list(st[gbase:gbase + 9 * K])
+                dG = list(st[gbase + 9 * K:gbase + 10 * K])
+                if grad_suffix:
+                    sbase = gbase + 10 * K
+                    phB = st[sbase]                # 0 = trace, 1 = replay
+                    Tr = list(st[sbase + 1:sbase + 4])   # path total rad
+                    Pr = list(st[sbase + 4:sbase + 7])   # replay prefix
+                    acc = list(st[sbase + 7:sbase + 7 + 3 * NTc])
 
             # --- regenerate dead lanes that still have samples left
-            regen = (alive_f < 0.5) & (s_f + 1.0 < n_samples)
-            s_f = jnp.where(regen, s_f + 1.0, s_f)
+            if grad_suffix:
+                # two-phase lifecycle: a finished phase-A path replays the
+                # SAME sample as phase B (the gradient events need the
+                # path's total radiance T from A; counter RNG makes the
+                # replay bit-identical); a finished phase B advances to the
+                # next sample's phase A
+                dead = alive_f < 0.5
+                to_B = dead & (phB < 0.5)
+                to_A = dead & (phB > 0.5) & (s_f + 1.0 < n_samples)
+                regen = to_B | to_A
+                s_f = jnp.where(to_A, s_f + 1.0, s_f)
+                phB = jnp.where(to_A, 0.0, jnp.where(to_B, 1.0, phB))
+                Tr = [jnp.where(to_A, 0.0, t) for t in Tr]
+                Pr = [jnp.where(regen, 0.0, p) for p in Pr]
+            else:
+                regen = (alive_f < 0.5) & (s_f + 1.0 < n_samples)
+                s_f = jnp.where(regen, s_f + 1.0, s_f)
             s_abs_f = sample_start_f + s_f
             gox, goy, goz, gdx0, gdy0, gdz0, gtm = gen_ray(s_abs_f)
             ox = jnp.where(regen, gox, ox)
@@ -2058,9 +2099,23 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             else:
                 P_ = physics(theta, ox, oy, oz, dx, dy, dz, thx, thy, thz)
 
-            rx = rx + P_["drad"][0]
-            ry = ry + P_["drad"][1]
-            rz = rz + P_["drad"][2]
+            if grad_suffix:
+                # phase A owns the image (phase B would double-count) and
+                # accumulates the path total T; phase B accumulates the
+                # replay prefix P (AFTER this bounce's events, for the
+                # suffix T - P_after below)
+                inA = phB < 0.5
+                rx = rx + jnp.where(inA, P_["drad"][0], 0.0)
+                ry = ry + jnp.where(inA, P_["drad"][1], 0.0)
+                rz = rz + jnp.where(inA, P_["drad"][2], 0.0)
+                Tr = [t + jnp.where(inA, d, 0.0)
+                      for t, d in zip(Tr, P_["drad"])]
+                Pr = [p + jnp.where(inA, 0.0, d)
+                      for p, d in zip(Pr, P_["drad"])]
+            else:
+                rx = rx + P_["drad"][0]
+                ry = ry + P_["drad"][1]
+                rz = rz + P_["drad"][2]
             live_hit = P_["live_hit"]
 
             if n_wp:
@@ -2102,6 +2157,40 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                                  + jnp.where(ind, thc[c], 0.0)) * factor
                         Wp[3 * t + c] = jnp.where(live_hit, w_new,
                                                   Wp[3 * t + c])
+            elif grad_suffix:
+                # suffix-radiance events (phase-B lanes only): the
+                # emission's direct term is g·th (exact, no division); the
+                # scatter term is g·(T − P_after)/at — everything radiated
+                # after this bounce is proportional to this bounce's
+                # attenuation at (the MIS mixture pdf folds into the
+                # tex-independent `factor`), so one division recovers
+                # th·factor·L(next) without any per-row state. Both events
+                # share the hit's eff_tex row: one one-hot routing/bounce.
+                gc = (cg_r, cg_g, cg_b)
+                thc = (thx, thy, thz)
+                inB = phB > 0.5
+                emit_b = P_["emit_on"] & inB
+                scat_b = P_["live_hit"] & ~P_["is_diel"] & inB
+                atc = P_["at"]
+                vals = []
+                for c in range(3):
+                    sfx = Tr[c] - Pr[c]
+                    div = jnp.where(jnp.abs(atc[c]) > 1e-8,
+                                    sfx / jnp.where(jnp.abs(atc[c]) > 1e-8,
+                                                    atc[c], 1.0), 0.0)
+                    vals.append(gc[c] * (jnp.where(emit_b, thc[c], 0.0)
+                                         + jnp.where(scat_b, div, 0.0)))
+                iota3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (R, 128, 128), 2)
+                eff_i = P_["eff_tex"].astype(jnp.int32)
+                for nc in range(NTc):
+                    oh = (eff_i[:, :, None] == iota3 + nc * 128).astype(
+                        jnp.float32)
+                    for c in range(3):
+                        red = jnp.sum(oh * vals[c][:, :, None],
+                                      axis=(0, 1))
+                        acc[c * NTc + nc] = (acc[c * NTc + nc]
+                                             + red.reshape(1, 128))
 
             ox, oy, oz = P_["o"]
             dx, dy, dz = P_["d"]
@@ -2114,11 +2203,16 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                          & (P_["skip_pdf"] | P_["pdf_ok"])
                          & (b_f < max_depth))
             work = alive_new | (s_f + 1.0 < n_samples)
+            if grad_suffix:
+                # a dead phase-A lane still owes its phase-B replay
+                work = work | (phB < 0.5)
             out = (ox, oy, oz, dx, dy, dz, thx, thy, thz,
                    rx, ry, rz, jnp.where(alive_new, zero + 1.0, zero), b_f,
                    s_f, tm, jnp.where(work, zero + 1.0, zero))
             if grad_tex:
                 out = out + tuple(Wp) + tuple(Gp) + tuple(Dst) + tuple(dG)
+                if grad_suffix:
+                    out = out + (phB,) + tuple(Tr) + tuple(Pr) + tuple(acc)
             if cap:
                 out = out + (st[-1] + 1,)
             return out
@@ -2149,6 +2243,12 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                      zero + 1.0)                            # work-left mask
         if grad_tex:
             state = state + tuple(zero for _ in range(2 * n_wp + 10 * K))
+            if grad_suffix:
+                # phB, T (3), P (3) lane planes + 3*NTc shared (1, 128)
+                # accumulator rows (data-derived zeros: see `zero` above)
+                lz = i_f[0:1, :] * 0.0
+                state = state + tuple(zero for _ in range(7))
+                state = state + tuple(lz for _ in range(3 * NTc))
         if cap:
             state = state + (jnp.int32(0),)
 
@@ -2175,11 +2275,17 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         if grad_tex:
             # per-tile partial gradient rows (tex cotangents then hard
             # cotangents): reduce the lane planes over sublanes here, leave
-            # the (tile, lane) reduction to XLA
-            rows = [jnp.sum(out[17 + n_wp + k], axis=0)
-                    for k in range(n_wp)]
-            rows += [jnp.sum(out[17 + 2 * n_wp + 9 * K + k], axis=0)
-                     for k in range(K)]
+            # the (tile, lane) reduction to XLA. Suffix mode instead emits
+            # its 3*NTc accumulator rows, whose LANES are texture-row ids
+            # (the wrapper sums over tiles only)
+            if grad_suffix:
+                sb = 17 + 2 * n_wp + 10 * K + 7
+                rows = [out[sb + k][0] for k in range(3 * NTc)]
+            else:
+                rows = [jnp.sum(out[17 + n_wp + k], axis=0)
+                        for k in range(n_wp)]
+                rows += [jnp.sum(out[17 + 2 * n_wp + 9 * K + k], axis=0)
+                         for k in range(K)]
             dg_ref[0] = jnp.stack(rows)
 
     return kernel
@@ -2338,9 +2444,15 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     NT_k = int(texf.shape[0])
     NT_g = int(flat.tex_color.shape[0])    # weight planes span the FULL
     K = len(hard_slots)                    # texture table (scan slims texf)
-    n_wp = 3 * NT_g if (grad_tex and want_tex) else 0
+    # mirror _make_kernel's backward-tier pick: weight planes up to
+    # MAX_GRAD_TEXS rows, the O(1)-in-NT suffix-radiance estimator beyond
+    grad_suffix = grad_tex and want_tex and NT_g > MAX_GRAD_TEXS
+    NTc = -(-NT_g // 128) if grad_suffix else 0
+    n_wp = (3 * NT_g if (grad_tex and want_tex and not grad_suffix)
+            else 0)
     if grad_tex:
-        assert n_wp + K > 0, "cotangent given but no gradient target"
+        assert n_wp + K > 0 or grad_suffix, \
+            "cotangent given but no gradient target"
     kernel = _make_kernel(
         S=S, Q=Q, L=L, NM=int(mati.shape[0]), NT=NT_k, M=M,
         R=R, width=width, n_pix=n_pix, n_strata=n_strata,
@@ -2389,7 +2501,7 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         inputs.append(g.reshape(3, n_tiles * R, lane))
         in_specs.append(pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
-        n_rows = n_wp + K
+        n_rows = 3 * NTc if grad_suffix else n_wp + K
         out_specs = [out_specs,
                      pl.BlockSpec((1, n_rows, lane), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)]
@@ -2431,10 +2543,17 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
 
     if grad_tex:
         out, dg = out
-        summed = dg.sum(axis=(0, 2))                   # (n_wp + K,)
-        dg_tex = (summed[:n_wp].reshape(NT_g, 3) if want_tex
-                  else jnp.zeros((NT_g, 3), jnp.float32))
-        dg_hard = summed[n_wp:]
+        if grad_suffix:
+            # suffix accumulator rows: lane = texture-row id, rows are
+            # channel-major 128-wide chunks — sum tiles, unchunk, slice
+            summed = dg.sum(axis=0)                    # (3*NTc, 128)
+            dg_tex = summed.reshape(3, NTc * 128)[:, :NT_g].T
+            dg_hard = jnp.zeros((K,), jnp.float32)
+        else:
+            summed = dg.sum(axis=(0, 2))               # (n_wp + K,)
+            dg_tex = (summed[:n_wp].reshape(NT_g, 3) if want_tex
+                      else jnp.zeros((NT_g, 3), jnp.float32))
+            dg_hard = summed[n_wp:]
     if cap:
         out, st = out
         return (out.reshape(3, n_tiles * rays_per_tile),
@@ -2498,18 +2617,28 @@ def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
     # (round-3 ADVICE item 2)
     if caps is None:
         if cap == 0:
-            cap = max(int(6.5 * n_samples), max_depth)
-        # capped phases then one uncapped finisher; the second cap at ~0.4x
-        # recovers another slice of the tail (exact replay: 0.57 -> 0.62
-        # utilization on Cornell spp16) before per-pass overhead dominates.
-        # `caps` overrides both knobs with an explicit phase schedule —
-        # round-4 replay on bouncing_spheres shows equal REPEATED caps
-        # (e.g. 4x12 at spp9) reach 0.68 utilization where one big cap
-        # stalls at 0.33: the remaining-samples sort key gains resolution
-        # as samples advance, so several short phases beat one long one
-        caps = (cap,) if phases <= 2 else (
-            (cap,) + tuple(max(int(cap * 0.4 ** i), max_depth // 2)
-                           for i in range(1, phases - 1)))
+            # mode-aware default: unrolled Cornell-class scenes have long
+            # mean paths (~5.6 bounces) — one big cap at 6.5x spp measured
+            # best (round 3: 75 -> 100 Mpaths/s). vscan/BVH large scenes
+            # have short means (~2-3) — two phases of 2x spp measured best
+            # on v5e round 4 (bouncing 10.5 -> 17.7, grid 3.2 -> 5.5);
+            # `caps` overrides everything with an explicit phase schedule
+            unroll = _kernel_modes(flat, _kernel_env())[0]
+            if not unroll:
+                caps = (max(2 * n_samples, 2),) * 2
+            else:
+                cap = max(int(6.5 * n_samples), max_depth)
+        if caps is None:
+            # capped phases then one uncapped finisher; the second cap at
+            # ~0.4x recovers another slice of the tail (exact replay:
+            # 0.57 -> 0.62 utilization on Cornell spp16) before per-pass
+            # overhead dominates. Round-4 replay on bouncing_spheres also
+            # shows equal REPEATED caps (e.g. 2x18 at spp9) beat one big
+            # cap: the remaining-samples sort key gains resolution as
+            # samples advance
+            caps = (cap,) if phases <= 2 else (
+                (cap,) + tuple(max(int(cap * 0.4 ** i), max_depth // 2)
+                               for i in range(1, phases - 1)))
     common = dict(width=width, height=height, n_strata=n_strata,
                   max_depth=max_depth, n_samples=n_samples,
                   sky_gradient=sky_gradient, rows_per_tile=rows_per_tile,
