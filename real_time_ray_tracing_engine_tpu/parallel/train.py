@@ -70,6 +70,7 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
     from ..ops.wavefront_pallas import (render_pass_pallas,
                                         pallas_grad_gate_reason,
                                         pallas_scan_grad_gate_reason,
+                                        pallas_hard_slots_gate_reason,
                                         hard_param_slots,
                                         light_sphere_sources,
                                         HARD_SLOT_FIELDS)
@@ -77,7 +78,7 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
         interpret = jax.default_backend() == "cpu"
     grad_reason = pallas_grad_gate_reason(baked)
     scan_tex_reason = pallas_scan_grad_gate_reason(baked)
-    light_src = light_sphere_sources(baked) if grad_reason is None else ()
+    light_src = light_sphere_sources(baked)
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
     total_spp = n_strata * n_strata
@@ -130,11 +131,17 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
         known = requested <= set(TRAINABLE_FIELDS)
         slots = (hard_param_slots(baked, requested - {"tex_color"})
                  if known else ())
-        # tex_color-only fused backward also runs on scan/BVH/lane scenes
-        # (weight planes + eff-row routing need no theta aliasing); hard
-        # slots need the unrolled kernel
+        # the tex_color backward runs fused on every kernel mode (weight
+        # planes, or the suffix estimator beyond MAX_GRAD_TEXS); hard
+        # slots run fused on unrolled scenes and — round 4 — on vscan
+        # scenes up to MAX_HARD_SLOTS_VSCAN tangent bundles (post-gather
+        # theta aliasing in closest_hit_vscan)
+        hard_reason = (pallas_hard_slots_gate_reason(baked, len(slots))
+                       if slots else None)
         fused_ok = known and (grad_reason is None
-                              or (not slots and scan_tex_reason is None))
+                              or ((not want_tex
+                                   or scan_tex_reason is None)
+                                  and (not slots or hard_reason is None)))
         if fused_ok and not (want_tex or slots):
             # nothing requested actually exists in this scene (e.g. fuzz
             # with no metals): the gradient is identically zero
@@ -159,9 +166,10 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
         else:
             if grad_reason is not None:
                 import sys
-                reason = (grad_reason if scan_tex_reason is not None
-                          else f"{grad_reason}; and hard-parameter slots "
-                          "were requested")
+                reason = (scan_tex_reason if (want_tex and
+                                              scan_tex_reason is not None)
+                          else hard_reason if hard_reason is not None
+                          else grad_reason)
                 print("[INFO] fused kernel backward unavailable "
                       f"({reason}); using the pure-JAX replay backward",
                       file=sys.stderr)

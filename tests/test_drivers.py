@@ -164,11 +164,17 @@ def test_pallas_gate_reason_diagnostics():
         (0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
             1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))])
     assert pallas_gate_reason(rt.compile_scene(nested)) is None
-    # ... but scan/BVH-mode scenes resolve one texture level, so a deep
-    # DAG in a large scene still gates (with a checker diagnostic)
+    # ... and since round 4 deep DAGs are in-gate for LARGE scenes too
+    # (vscan tex_eval_dag descent); the remaining hard gates are resource
+    # caps like > MAX_MEDIUMS constant mediums, with a named diagnostic
     big = rt.Scene(objects=[rt.Sphere(
         (i * 3.0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
             1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))
         for i in range(80)])
-    reason = pallas_gate_reason(rt.compile_scene(big))
-    assert reason is not None and "checker" in reason.lower()
+    assert pallas_gate_reason(rt.compile_scene(big)) is None
+    many = rt.Scene(objects=[rt.ConstantMedium(
+        rt.Box((i, 0, 0), (i + 1, 1, 1),
+               rt.Lambertian(rt.SolidColor((1, 1, 1)))),
+        0.1, rt.SolidColor((1, 1, 1))) for i in range(5)])
+    reason = pallas_gate_reason(rt.compile_scene(many))
+    assert reason is not None and "medium" in reason.lower()

@@ -590,3 +590,75 @@ def test_bouncing_spheres_suffix_grad_matches_kernel_fd():
                                    atol=1e-4, err_msg=f"tex row {t}")
         checked += 1
     assert checked >= 4
+
+
+def test_vscan_hard_slots_match_kernel_fd():
+    """Hard-parameter fused backward on a VSCAN-mode scene (>64 prims;
+    VERDICT round-3 item 5): fuzz / IOR / sphere center / sphere radius
+    slots alias the winner's gathered scalars against traced theta reads
+    (closest_hit_vscan post-gather aliasing; selection runs detached
+    outside the linearized physics). Validated against common-random-
+    numbers central differences of the kernel itself, one slot per
+    family."""
+    import real_time_ray_tracing_engine_tpu.ops.wavefront_pallas as wp
+    from real_time_ray_tracing_engine_tpu.scene.flat import (MAT_METAL,
+                                                             MAT_DIELECTRIC)
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+
+    rng = np.random.default_rng(21)
+    objs = []
+    for i in range(78):
+        c = tuple(map(float, rng.uniform(-4, 4, 3)))
+        albedo = tuple(map(float, rng.uniform(0.25, 0.9, 3)))
+        m = (rt.Metal(albedo, fuzz=0.25) if i % 9 == 0 else
+             rt.Dielectric(1.5) if i == 4 else
+             rt.Lambertian(rt.SolidColor(albedo)))
+        objs.append(rt.Sphere(c, 0.5, m))
+    light = rt.Sphere((0, 8, 0), 2.0,
+                      rt.DiffuseLight(rt.SolidColor((6., 6., 6.))))
+    objs.append(light)
+    scene = rt.Scene(objects=objs, lights=[light],
+                     camera=rt.CameraConfig(
+                         image_width=24, aspect_ratio=1.0,
+                         samples_per_pixel=4, max_depth=4, vfov=45,
+                         lookfrom=(0, 2, 11), lookat=(0, 0, 0),
+                         background=(0.3, 0.4, 0.6)))
+    flat = compile_scene(scene)
+    assert wp._kernel_modes(flat)[3]                    # vscan selected
+    assert wp.pallas_hard_slots_gate_reason(flat, 4) is None
+    mt = np.asarray(flat.mat_type)
+    m_metal = int(np.where(mt == MAT_METAL)[0][0])
+    m_diel = int(np.where(mt == MAT_DIELECTRIC)[0][0])
+    p = 7
+    slots = (("fuzz", m_metal), ("ior", m_diel), ("sphc", p, 1),
+             ("sphr", p))
+    camst = cam_mod.derive(scene.camera)
+    w, h = cam_mod.image_size(scene.camera)
+    g = jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32)
+    kw = dict(width=w, height=h, n_strata=2, max_depth=4, n_samples=4,
+              interpret=True)
+    seed = jnp.asarray(0, jnp.uint32)
+    img, _, dg_hard = wp.render_pass_pallas(
+        flat, camst, seed, 0, cotangent=g, hard_slots=slots,
+        light_src=wp.light_sphere_sources(flat), want_tex=False, **kw)
+    img0 = wp.render_pass_pallas(flat, camst, seed, 0, **kw)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img0),
+                               atol=1e-6)
+    dg_hard = np.asarray(dg_hard)
+
+    def fd(field, idx, eps):
+        def wiggle(delta):
+            arr = np.asarray(getattr(flat, field)).copy()
+            arr[idx] += delta
+            return flat.replace(**{field: jnp.asarray(arr)})
+        d = (np.asarray(wp.render_pass_pallas(wiggle(eps), camst, seed, 0,
+                                              **kw))
+             - np.asarray(wp.render_pass_pallas(wiggle(-eps), camst, seed,
+                                                0, **kw)))
+        return float((d * np.asarray(g)).sum() / (2 * eps))
+
+    for k, (f, idx, eps) in enumerate(
+            [("mat_fuzz", m_metal, 1e-3), ("mat_ior", m_diel, 1e-3),
+             ("sph_center", (p, 1), 2e-3), ("sph_radius", p, 2e-3)]):
+        np.testing.assert_allclose(dg_hard[k], fd(f, idx, eps), rtol=2e-2,
+                                   atol=2e-3, err_msg=f)

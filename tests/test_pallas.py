@@ -278,8 +278,9 @@ def test_supports_gate():
     marble = rt.Scene(objects=[
         rt.Sphere((0, 0, 0), 1.0, rt.Lambertian(rt.Noise(4.0)))])
     assert supports_pallas(compile_scene(marble))
-    # checker with non-solid children is in-gate on the unrolled kernel
-    # (static texture-DAG recursion); only large scan/BVH scenes gate
+    # checker with non-solid children is in-gate in EVERY mode since
+    # round 4: unrolled by static texture-DAG recursion, vscan/BVH/lane by
+    # per-lane gather descent (tex_eval_dag) — including large scenes
     nested = rt.Scene(objects=[rt.Sphere(
         (0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
             1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))])
@@ -288,7 +289,7 @@ def test_supports_gate():
         (i * 3.0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
             1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))
         for i in range(80)])
-    assert not supports_pallas(compile_scene(big_nested))
+    assert supports_pallas(compile_scene(big_nested))
 
 
 def test_nested_checker_matches_oracle():
@@ -309,6 +310,37 @@ def test_nested_checker_matches_oracle():
         rt.Sphere((0, 1.5, 0), 1.0, rt.Lambertian(tex))], camera=cam)
     flat = compile_scene(scene)
     assert flat.checker_depth == 2 and supports_pallas(flat)
+    img_p, img_j = _compare(scene)
+    _assert_close(img_p, img_j)
+
+
+def test_vscan_nested_checker_matches_oracle():
+    """Nested checker DAGs in the NON-unrolled kernel (VERDICT round-3 item
+    7): >64 prims select vscan mode, whose resolved per-prim rows only
+    carry depth-1 children — deeper DAGs now descend the vtex gather table
+    per lane (tex_eval_dag) instead of gating the scene to the jax engine.
+    Depth-2 checker over solid + marble children, validated vs the
+    pure-JAX oracle like every other kernel mode."""
+    import real_time_ray_tracing_engine_tpu.ops.wavefront_pallas as wp
+    inner = rt.Checker(0.31, rt.SolidColor((0.9, 0.1, 0.1)),
+                       rt.SolidColor((0.1, 0.1, 0.9)))
+    tex = rt.Checker(1.1, inner, rt.Noise(3.0))
+    rng = np.random.default_rng(13)
+    objs = [rt.Quad((-10, 0.513, -10), (20, 0, 0), (0, 0, 20),
+                    rt.Lambertian(tex))]
+    for i in range(78):
+        c = tuple(map(float, rng.uniform(-5, 5, 2)))
+        albedo = tuple(map(float, rng.uniform(0.2, 0.9, 3)))
+        m = rt.Lambertian(tex if i % 4 == 0 else rt.SolidColor(albedo))
+        objs.append(rt.Sphere((c[0], 1.1, c[1]), 0.35, m))
+    cam = rt.CameraConfig(aspect_ratio=1.0, image_width=32,
+                          samples_per_pixel=4, max_depth=3,
+                          lookfrom=(0, 3, 9), lookat=(0, 1, 0),
+                          sky_gradient=True)
+    scene = rt.Scene(objects=objs, camera=cam)
+    flat = compile_scene(scene)
+    assert flat.checker_depth == 2 and flat.n_prims > 64
+    assert wp._kernel_modes(flat)[3] and supports_pallas(flat)
     img_p, img_j = _compare(scene)
     _assert_close(img_p, img_j)
 
@@ -388,13 +420,15 @@ def test_pick_engine_auto_on_cpu_is_jax():
     assert pick_engine(flat, "auto") == "jax"       # tests run on CPU
     assert pick_engine(flat, "pallas") == "pallas"
     with pytest.raises(ValueError):
-        # forcing engine=pallas on a gated scene (deep texture DAG in a
-        # scan-mode scene) is a hard error with the gate reason
-        big_nested = compile_scene(rt.Scene(objects=[rt.Sphere(
-            (i * 3.0, 0, 0), 1.0, rt.Lambertian(rt.Checker(
-                1.0, rt.Noise(4.0), rt.SolidColor((1, 1, 1)))))
-            for i in range(80)]))
-        pick_engine(big_nested, "pallas")
+        # forcing engine=pallas on a gated scene (> MAX_MEDIUMS constant
+        # mediums — nested texture DAGs no longer gate since round 4) is a
+        # hard error with the gate reason
+        many_mediums = compile_scene(rt.Scene(objects=[
+            rt.ConstantMedium(
+                rt.Box((i, 0, 0), (i + 1, 1, 1),
+                       rt.Lambertian(rt.SolidColor((1, 1, 1)))),
+                0.1, rt.SolidColor((1, 1, 1))) for i in range(5)]))
+        pick_engine(many_mediums, "pallas")
 
 
 def test_sharded_pallas_matches_sharded_jax():
