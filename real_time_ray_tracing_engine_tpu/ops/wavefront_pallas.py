@@ -603,14 +603,7 @@ def _pack_lane_tables(flat: FlatScene, primmatf):
     36.9 MiB on bouncing_spheres vs the 16 MiB scoped limit)."""
     f32 = jnp.float32
 
-    def chunkmajor(tab):                              # (nf, N) f32
-        nf, N = tab.shape
-        C = -(-N // 128)
-        nfp = -(-nf // 8) * 8
-        tab = jnp.pad(tab, ((0, nfp - nf), (0, C * 128 - N)))
-        return (tab.reshape(nfp, C, 128).transpose(1, 0, 2)
-                .reshape(C * nfp, 128), C)
-
+    chunkmajor = _gather_table
     cnt = jnp.where(flat.bvh_leaf, flat.bvh_right, 0)
     hof = jnp.where(flat.bvh_leaf, flat.bvh_left, flat.bvh_hit)
     cols = [flat.bvh_bbox_min[:, 0], flat.bvh_bbox_max[:, 0],

@@ -662,3 +662,55 @@ def test_vscan_hard_slots_match_kernel_fd():
              ("sph_center", (p, 1), 2e-3), ("sph_radius", p, 2e-3)]):
         np.testing.assert_allclose(dg_hard[k], fd(f, idx, eps), rtol=2e-2,
                                    atol=2e-3, err_msg=f)
+
+
+def test_stack_bvh_suffix_tex_grad_matches_weight_planes(monkeypatch):
+    """The suffix tex backward must also cover the opt-in shared-stack BVH
+    kernel (RTX_BVH_STACK=1) — its event routing and per-lane gathers live
+    at kernel scope, shared by every mode. Mixed sphere/quad leaves, 41
+    textures (> MAX_GRAD_TEXS) vs the weight-plane oracle."""
+    monkeypatch.setenv("RTX_BVH_STACK", "1")
+    import real_time_ray_tracing_engine_tpu.ops.wavefront_pallas as wp
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+
+    rng = np.random.default_rng(6)
+    objs = []
+    for i in range(36):
+        c = tuple(map(float, rng.uniform(-4, 4, 3)))
+        albedo = tuple(map(float, rng.uniform(0.2, 0.9, 3)))
+        objs.append(rt.Sphere(c, 0.5, rt.Lambertian(rt.SolidColor(albedo))))
+    for i in range(30):
+        c = rng.uniform(-4.0, 4.0, 3)
+        u = rng.uniform(0.4, 1.0, 3) * np.array([1.0, 0.0, 1.0])
+        v = rng.uniform(0.4, 1.0, 3) * np.array([0.0, 1.0, 1.0])
+        albedo = tuple(map(float, rng.uniform(0.2, 0.9, 3)))
+        objs.append(rt.Quad(tuple(map(float, c)), tuple(map(float, u)),
+                            tuple(map(float, v)),
+                            rt.Lambertian(rt.SolidColor(albedo))))
+    light = rt.Sphere((0, 8, 0), 2.0,
+                      rt.DiffuseLight(rt.SolidColor((6., 6., 6.))))
+    objs.append(light)
+    scene = rt.Scene(objects=objs, lights=[light],
+                     camera=rt.CameraConfig(
+                         image_width=24, aspect_ratio=1.0,
+                         samples_per_pixel=4, max_depth=4, vfov=45,
+                         lookfrom=(0, 2, 11), lookat=(0, 0, 0),
+                         background=(0.3, 0.4, 0.6)))
+    flat = compile_scene(scene, use_bvh=True)
+    assert wp._kernel_modes(flat)[2]                 # stack-BVH selected
+    assert flat.tex_color.shape[0] > wp.MAX_GRAD_TEXS
+    camst = cam_mod.derive(scene.camera)
+    w, h = cam_mod.image_size(scene.camera)
+    g = jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32)
+    kw = dict(width=w, height=h, n_strata=2, max_depth=4, n_samples=4,
+              interpret=True, cotangent=g)
+    seed = jnp.asarray(0, jnp.uint32)
+    _, dg_s, _ = wp.render_pass_pallas(flat, camst, seed, 0, **kw)
+    old = wp.MAX_GRAD_TEXS
+    try:
+        wp.MAX_GRAD_TEXS = 10**6
+        _, dg_w, _ = wp.render_pass_pallas(flat, camst, seed, 0, **kw)
+    finally:
+        wp.MAX_GRAD_TEXS = old
+    np.testing.assert_allclose(np.asarray(dg_s), np.asarray(dg_w),
+                               rtol=1e-4, atol=1e-5)

@@ -481,10 +481,12 @@ def test_compacted_schedule_matches_single_pass():
     from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (
         render_pass_pallas_compacted)
 
-    for scene in (builders.cornell_box(), builders.bouncing_spheres(),
-                  builders.cornell_smoke()):
+    for scene, use_bvh in ((builders.cornell_box(), False),
+                           (builders.bouncing_spheres(), False),
+                           (builders.bouncing_spheres(), True),
+                           (builders.cornell_smoke(), False)):
         scene.camera.image_width = 40
-        flat = compile_scene(scene)
+        flat = compile_scene(scene, use_bvh=use_bvh)
         cam = cam_mod.derive(scene.camera)
         w, h = cam_mod.image_size(scene.camera)
         kw = dict(width=w, height=h, n_strata=2, max_depth=8, n_samples=4,
@@ -493,8 +495,13 @@ def test_compacted_schedule_matches_single_pass():
             flat, cam, jnp.uint32(7), jnp.int32(3), **kw))
         two = np.asarray(render_pass_pallas_compacted(
             flat, cam, jnp.uint32(7), jnp.int32(3), cap=6, **kw))
-        assert np.allclose(one, two, atol=1e-5), scene.name
-    # 3-phase (capped resume pass between compactions) on the last scene
+        assert np.allclose(one, two, atol=1e-5), (scene.name, use_bvh)
+    # 3-phase (capped resume pass between compactions) + an explicit
+    # multi-phase caps schedule (the round-4 production default shape for
+    # large scenes) on the last scene
     three = np.asarray(render_pass_pallas_compacted(
         flat, cam, jnp.uint32(7), jnp.int32(3), cap=6, phases=3, **kw))
     assert np.allclose(one, three, atol=1e-5)
+    four = np.asarray(render_pass_pallas_compacted(
+        flat, cam, jnp.uint32(7), jnp.int32(3), caps=(4, 4), **kw))
+    assert np.allclose(one, four, atol=1e-5)
