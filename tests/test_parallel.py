@@ -110,3 +110,25 @@ def test_measured_ops_per_bounce():
     s.camera.image_width = 32
     v = measured_ops_per_bounce(compile_scene(s), s.camera, max_depth=4)
     assert v is None or 100.0 < v < 20000.0, v
+
+
+def test_schedule_utilization_replay():
+    """The capped+compacted schedule replay (utils.profiling
+    schedule_utilization, round-4 methodology that selected the production
+    cap schedules) must show: compaction beats the single pass, the oracle
+    key bounds the samples key, and utilization stays in (0, 1]."""
+    import real_time_ray_tracing_engine_tpu as rt
+    from real_time_ray_tracing_engine_tpu.utils.profiling import \
+        schedule_utilization
+
+    s = rt.builders.cornell_box()
+    kw = dict(scene=s, width=64, n_samples=9, max_depth=12,
+              rows_per_tile=8)
+    single = schedule_utilization(caps=(), **kw)
+    two = schedule_utilization(caps=(18, 18), **kw)
+    oracle = schedule_utilization(caps=(18, 18), key="oracle", **kw)
+    for r in (single, two, oracle):
+        assert 0.0 < r["utilization"] <= 1.0, r
+    assert two["utilization"] > single["utilization"], (single, two)
+    assert oracle["utilization"] >= two["utilization"] - 1e-9
+    assert len(two["phase_mean_iters"]) == 3
