@@ -116,11 +116,14 @@ def _smem_table_bytes(flat: FlatScene) -> int:
     # material data into VMEM gather tables, keeping only quad/medium rows
     # (vscan) or medium rows (lane) in SMEM
     B = flat.bvh_bbox_min.shape[0] if bvh else 1
+    vquad = vscan and Q > MAX_QUADS_VSCAN
     n_sph = 1 if (lane or vscan) else S
-    n_vbox = (-(-S // VCHUNK)) if (vscan and S) else 1
+    n_quadf = 1 if vquad else Q
+    n_vbox = ((-(-S // VCHUNK)) + (-(-Q // VCHUNK) if vquad else 0)
+              if (vscan and S) else 1)
     if unroll:
         n_primmat = 1
-    elif lane:
+    elif lane or vquad:
         n_primmat = max(M, 1)
     elif vscan:
         n_primmat = max(Q + M, 1)
@@ -128,7 +131,7 @@ def _smem_table_bytes(flat: FlatScene) -> int:
         n_primmat = P + M
     n_mt = NM if unroll else 1
     n_tex = NT if unroll else 1
-    return (t(8, n_sph) + t(18, Q) + t(1, P + M)
+    return (t(8, n_sph) + t(18, n_quadf) + t(1, P + M)
             + t(25, max(flat.n_lights, 1))
             + t(2, n_mt) * 2 + t(14, n_tex)
             + t(PMCOLS, n_primmat)              # resolved per-prim rows
@@ -385,8 +388,10 @@ VCHUNK = 128            # prims per vectorized-scan test chunk (= the
 #                         branches cost more than the chunk work they skip
 VSCAN_BIG = 8           # largest prims split into vscan's unconditional
 #                         sub-block (keeps Morton chunk AABBs tight)
-MAX_QUADS_VSCAN = 64    # vscan's per-quad fori bound; beyond it a use_bvh
-#                         scene takes the shared-stack traversal instead
+MAX_QUADS_VSCAN = 64    # vscan's per-quad fori/unroll bound; beyond it
+#                         quads move to their own vectorized 128-chunk
+#                         tables (vquad; same outer-product pattern as the
+#                         sphere chunks, _pack_vquad_tables)
 # bit pattern of BIG with the low 7 mantissa bits cleared — the "no hit"
 # value of the vscan winner key (t bits | chunk-local prim id; positive-f32
 # bit patterns order like the floats, so int32 min == float min)
@@ -427,7 +432,7 @@ def _kernel_modes(flat: FlatScene, env=None):
             and flat.bvh_bbox_min.shape[0] <= LANE_BVH_MAX
             and flat.bvh_prims.shape[0] <= LANE_BVH_MAX)
     bvh = (bool(flat.use_bvh) and not unroll and not lane
-           and (bvh_stack == "1" or Q > MAX_QUADS_VSCAN))
+           and bvh_stack == "1")
     vscan = not unroll and not lane and not bvh
     return unroll, lane, bvh, vscan
 
@@ -500,7 +505,9 @@ def _pack_vscan_tables(flat: FlatScene, primmat_s):
     code = jnp.where(is_big, jnp.uint32(0xFFFFFFFF), code)
     perm = jnp.argsort(code)
     n_small = S - n_big
-    C_small = -(-n_small // VCHUNK)
+    # >= 1 chunk even for sphere-free (all-quad) scenes: the kernel loops
+    # over a single all-invalid chunk whose empty box never passes a cull
+    C_small = max(-(-n_small // VCHUNK), 1)
     C = C_small + (1 if n_big else 0)
     n_small_static = max(nas - n_big, 0) if pick_static_bigs else 0
     C_stat = min(n_small_static // VCHUNK, C_small)
@@ -554,6 +561,61 @@ def _pack_vscan_tables(flat: FlatScene, primmat_s):
     ptab, C_g = _gather_table(jnp.concatenate([rows, ids], axis=1).T)
     pmtab, _ = _gather_table(pm.T)
     return rows, ptab, pmtab, vbox, C, C_g, C_stat, n_big
+
+
+VQF = 17                # vquad test-table fields (below); padded to 24
+
+
+def _pack_vquad_tables(flat: FlatScene, primmat_q):
+    """Quad analogue of _pack_vscan_tables, for scenes whose quad count
+    exceeds the per-quad fori bound (MAX_QUADS_VSCAN): Morton-ordered
+    128-quad chunks tested as (128 quads, 128 rays) outer-product vector
+    ops, chunk AABBs for whole-tile culling. Layouts:
+
+      vqtab (Cq*128, VQF->24) — quad rows on sublanes, fields on lanes
+        [nx ny nz d cx cy cz ux uy uz vx vy vz wx wy wz act].
+      qptab (C_qg*8, 128) — [nx ny nz d] chunk-major for the winner's
+        exact-t re-derivation (validity was decided at selection; the
+        plane-equation t needs only the normal and offset).
+      qpmtab (C_qg*24, 128) — resolved material rows (PMCOLS).
+      qbox (Cq, 6) — chunk AABBs (SMEM, appended after the sphere chunk
+        boxes).
+    Returns (vqtab, qptab, qpmtab, qbox, Cq, C_qg)."""
+    f32 = jnp.float32
+    corner = flat.quad_corner
+    u, v, n = flat.quad_u, flat.quad_v, flat.quad_normal
+    act = flat.quad_active[:, None]
+    Qn = corner.shape[0]
+    # quad AABB from its 4 corners
+    c1 = corner + u
+    c2 = corner + v
+    c3 = corner + u + v
+    lo = jnp.minimum(jnp.minimum(corner, c1), jnp.minimum(c2, c3))
+    hi = jnp.maximum(jnp.maximum(corner, c1), jnp.maximum(c2, c3))
+    mid = 0.5 * (lo + hi)
+    wmin = jnp.min(jnp.where(act, mid, BIG), axis=0)
+    wmax = jnp.max(jnp.where(act, mid, -BIG), axis=0)
+    scale = 1023.0 / jnp.maximum(wmax - wmin, 1e-6)
+    q = jnp.clip((mid - wmin) * scale, 0.0, 1023.0).astype(jnp.uint32)
+    code = _morton3(q[:, 0], q[:, 1], q[:, 2])
+    code = jnp.where(act[:, 0], code, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(code)
+    Cq = -(-Qn // VCHUNK)
+    pad = Cq * VCHUNK - Qn
+    rows = jnp.concatenate([
+        n, flat.quad_d[:, None], corner, u, v, flat.quad_w,
+        act.astype(f32)], axis=1)[perm]
+    rows = jnp.pad(rows, ((0, pad), (0, 0)))          # (Cq*128, VQF)
+    lo = jnp.pad(jnp.where(act, lo, BIG)[perm], ((0, pad), (0, 0)),
+                 constant_values=BIG)
+    hi = jnp.pad(jnp.where(act, hi, -BIG)[perm], ((0, pad), (0, 0)),
+                 constant_values=-BIG)
+    qbox = jnp.concatenate([lo.reshape(Cq, VCHUNK, 3).min(axis=1),
+                            hi.reshape(Cq, VCHUNK, 3).max(axis=1)], axis=1)
+    qptab, C_qg = _gather_table(rows[:, :4].T)
+    qpmtab, _ = _gather_table(
+        jnp.pad(primmat_q[perm], ((0, pad), (0, 0))).T)
+    return rows, qptab, qpmtab, qbox, Cq, C_qg
 
 
 LANE_BVH_MAX = 16383    # node/prim ids must fit 14 bits of the control word
@@ -733,7 +795,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  C_n=1, C_p=1, B_n=1,
                  P_n=1, cap=0, resume=False, NT_g=None,
                  lane_gather="take", deep_tex=False, C_t=1,
-                 checker_depth=1):
+                 checker_depth=1, vquad_mode=False, C_q=1, C_qg=1):
     """grad_tex=True builds the fused forward+backward variant: alongside the
     radiance image it accumulates d<g, radiance>/d(theta) for trainable scene
     parameters by exact forward-mode differentiation, in two tiers:
@@ -832,19 +894,20 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             (g_ref, iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref,
              lightf_ref, mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
              medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref,
-             ptab_ref, pmtab_ref, vtex_ref, out_ref, dg_ref,
-             stack_ref) = rest
+             ptab_ref, pmtab_ref, vtex_ref, vqtab_ref, qptab_ref,
+             qpmtab_ref, out_ref, dg_ref, stack_ref) = rest
         else:
             if resume:
                 stin_ref, rest = rest[0], rest[1:]
             (iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref, lightf_ref,
              mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
              medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref, ptab_ref,
-             pmtab_ref, vtex_ref) = rest[:19]
+             pmtab_ref, vtex_ref, vqtab_ref, qptab_ref,
+             qpmtab_ref) = rest[:22]
             if cap:
-                out_ref, stout_ref, stack_ref = rest[19:]
+                out_ref, stout_ref, stack_ref = rest[22:]
             else:
-                out_ref, stack_ref = rest[19:]
+                out_ref, stack_ref = rest[22:]
         pix = pix_ref[:]                                     # (R,128) int32
         seed = iscal_ref[0].astype(jnp.uint32)
         sample_start_f = iscal_ref[1].astype(jnp.float32)
@@ -1360,10 +1423,90 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 
             hit = best_key < _BIG_KEY
             pid = jnp.where(hit, best_chunk * VCHUNK + (best_key & 127), 0)
-            return hit, pid
+            if not vquad_mode:
+                return hit, pid, hit, pid
 
-        def vscan_record(th_, hit, pid, ox_, oy_, oz_, dx_, dy_, dz_,
-                         tm0):
+            # ---- quad chunks (Q > MAX_QUADS_VSCAN): the same
+            # outer-product/cull/winner-key pattern over the vqtab table;
+            # chunk boxes follow the sphere boxes in csph (cols C_v..)
+            def qtest_rows(blk):
+                nxp, nyp, nzp = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+                dp = blk[:, 3:4]
+                cxp, cyp, czp = blk[:, 4:5], blk[:, 5:6], blk[:, 6:7]
+                uxp, uyp, uzp = blk[:, 7:8], blk[:, 8:9], blk[:, 9:10]
+                vxp, vyp, vzp = blk[:, 10:11], blk[:, 11:12], blk[:, 12:13]
+                wxp, wyp, wzp = blk[:, 13:14], blk[:, 14:15], blk[:, 15:16]
+                actp = blk[:, 16:17] > 0.5
+                out = []
+                for s in range(R):
+                    sl = slice(s, s + 1)
+                    denom = (dx[sl] * nxp + dy[sl] * nyp + dz[sl] * nzp)
+                    par = jnp.abs(denom) < 1e-8
+                    t_q = (dp - (ox[sl] * nxp + oy[sl] * nyp
+                                 + oz[sl] * nzp)) \
+                        / jnp.where(par, 1.0, denom)
+                    hx = ox[sl] + t_q * dx[sl] - cxp
+                    hy = oy[sl] + t_q * dy[sl] - cyp
+                    hz = oz[sl] + t_q * dz[sl] - czp
+                    c1x = hy * vzp - hz * vyp
+                    c1y = hz * vxp - hx * vzp
+                    c1z = hx * vyp - hy * vxp
+                    alpha = wxp * c1x + wyp * c1y + wzp * c1z
+                    c2x = uyp * hz - uzp * hy
+                    c2y = uzp * hx - uxp * hz
+                    c2z = uxp * hy - uyp * hx
+                    beta = wxp * c2x + wyp * c2y + wzp * c2z
+                    take = (~par & (alpha >= 0.0) & (alpha <= 1.0)
+                            & (beta >= 0.0) & (beta <= 1.0)
+                            & (t_q > T_MIN) & actp)
+                    tt = jnp.where(take, t_q, BIG)
+                    key = (jax.lax.bitcast_convert_type(tt, jnp.int32)
+                           & ~127) | pid_col
+                    out.append(jnp.min(key, axis=0, keepdims=True))
+                return jnp.concatenate(out, axis=0)
+
+            def qbox_any(k, best_key_):
+                best_t = jax.lax.bitcast_convert_type(best_key_,
+                                                      jnp.float32)
+                t0x = (csph_ref[0, C_v + k] - ox) * idx
+                t1x = (csph_ref[3, C_v + k] - ox) * idx
+                t0y = (csph_ref[1, C_v + k] - oy) * idy
+                t1y = (csph_ref[4, C_v + k] - oy) * idy
+                t0z = (csph_ref[2, C_v + k] - oz) * idz
+                t1z = (csph_ref[5, C_v + k] - oz) * idz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), T_MIN))
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+                want = alive & (tn <= tf)
+                return jnp.sum(jnp.where(want, 1.0, 0.0)) > 0.0
+
+            def qchunk_hits(c, cr):
+                bk, bc = cr
+                blk = vqtab_ref[pl.ds(c * VCHUNK, VCHUNK), :]
+                ck = qtest_rows(blk)
+                better = ck < bk
+                return (jnp.where(better, ck, bk),
+                        jnp.where(better, c + izero, bc))
+
+            def qchunk_body(c, cr):
+                return jax.lax.cond(qbox_any(c, cr[0]),
+                                    lambda cr_: qchunk_hits(c, cr_),
+                                    lambda cr_: cr_, cr)
+
+            qbest_key, qbest_chunk = jax.lax.fori_loop(
+                0, C_q, qchunk_body, (izero + _BIG_KEY, izero))
+            qhit = qbest_key < _BIG_KEY
+            qpid = jnp.where(qhit,
+                             qbest_chunk * VCHUNK + (qbest_key & 127), 0)
+            return hit, pid, qhit, qpid
+
+        def vscan_record(th_, hit, pid, qhit, qpid, ox_, oy_, oz_, dx_,
+                         dy_, dz_, tm0):
             """Differentiable half of the vscan closest hit: gathers the
             selected winner (pid from vscan_select, which runs OUTSIDE the
             linearized physics — its fori/cond/ref-read control flow has no
@@ -1414,7 +1557,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             mats = tuple(jnp.where(hit, mv, 0.0)
                          for mv in gather_fields(pmtab_ref, C_vg, PMCOLS,
                                                  pid))
-            if Q:
+            if Q and not vquad_mode:
                 # quad rows: primmat quad rows start at 0 in vscan mode
                 # (sphere rows moved to the VMEM gather tables)
                 def quad_body_v(q, cr):
@@ -1461,6 +1604,26 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                     best_t, nx, ny, nz, mats = jax.lax.fori_loop(
                         0, Q, quad_body_v, (best_t, nx, ny, nz, mats))
                 hit = best_t < BIG * 0.5
+                t_safe = jnp.where(hit, best_t, 1.0)
+            if vquad_mode:
+                # merge the selected quad winner: validity was decided at
+                # selection; only the plane-equation t is re-derived (it
+                # needs just the normal + offset, and must be EXACT for
+                # the cross-class comparison against the sphere winner)
+                qnx, qny, qnz, qd = gather_fields(qptab_ref, C_qg, 4,
+                                                  qpid)
+                denom = _dot3(dx_, dy_, dz_, qnx, qny, qnz)
+                t_q = (qd - _dot3(ox_, oy_, oz_, qnx, qny, qnz)) \
+                    / jnp.where(jnp.abs(denom) < 1e-8, 1.0, denom)
+                better = qhit & (t_q < best_t)
+                best_t = jnp.where(better, t_q, best_t)
+                nx = jnp.where(better, qnx + zero, nx)
+                ny = jnp.where(better, qny + zero, ny)
+                nz = jnp.where(better, qnz + zero, nz)
+                qmats = gather_fields(qpmtab_ref, C_qg, PMCOLS, qpid)
+                mats = tuple(jnp.where(better, qm, ms)
+                             for qm, ms in zip(qmats, mats))
+                hit = hit | better
                 t_safe = jnp.where(hit, best_t, 1.0)
             if K and vscan_mode:
                 # fuzz/IOR theta aliasing via the resolved row's mat id
@@ -2008,7 +2171,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                                               alive)
                 elif vscan_mode:
                     (hit, best_t, px, py, pz, nx, ny, nz, front,
-                     mats) = vscan_record(th_, vsel[0], vsel[1],
+                     mats) = vscan_record(th_, *vsel,
                                           ox, oy, oz, dx, dy, dz, tm)
                 else:
                     (hit, best_t, px, py, pz, nx, ny, nz, front,
@@ -2040,9 +2203,10 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                                 mat)
                     else:
                         # primmat medium rows follow whatever else each
-                        # mode keeps in SMEM: lane = mediums only, vscan =
-                        # quads then mediums, stack-BVH = the full table
-                        med_base = (0 if lane_mode
+                        # mode keeps in SMEM: lane/vquad = mediums only,
+                        # vscan = quads then mediums, stack-BVH = the full
+                        # table
+                        med_base = (0 if (lane_mode or vquad_mode)
                                     else Q if vscan_mode else S + Q)
                         for m in range(M):
                             sel = med_on & (med_row == float(m))
@@ -2518,8 +2682,12 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     ntab = jnp.zeros((8, 128), jnp.float32)
     ptab = jnp.zeros((8, 128), jnp.float32)
     pmtab = jnp.zeros((24, 128), jnp.float32)
-    C_n = C_p = B_n = P_n = C_v = C_vg = 1
+    C_n = C_p = B_n = P_n = C_v = C_vg = C_q = C_qg = 1
     n_big = C_stat = 0
+    vquad_mode = False
+    vqtab = jnp.zeros((VCHUNK, 24), jnp.float32)
+    qptab = jnp.zeros((8, 128), jnp.float32)
+    qpmtab = jnp.zeros((24, 128), jnp.float32)
     nodef = jnp.zeros((1, 6), jnp.float32)
     nodei = jnp.zeros((1, 5), jnp.int32)
     bprims = jnp.zeros((1,), jnp.int32)
@@ -2557,6 +2725,16 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
             else:
                 sphf = sphf[:1]
             primmatf = primmatf[S:]
+            vquad_mode = Q > MAX_QUADS_VSCAN
+            if vquad_mode:
+                # quads move to vectorized chunk tables too; SMEM keeps
+                # only the medium rows, and the quad chunk boxes follow
+                # the sphere chunk boxes in the csph table
+                (vqtab, qptab, qpmtab, qbox, C_q,
+                 C_qg) = _pack_vquad_tables(flat, primmatf[:Q])
+                csph = jnp.concatenate([csph, qbox], axis=0)
+                quadf = quadf[:1]
+                primmatf = primmatf[Q:] if M else primmatf[:1]
 
     n_pix = width * height
     R = rows_per_tile
@@ -2640,7 +2818,8 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         hard_slots=hard_slots, light_src=light_src[:max(L, 1)],
         want_tex=want_tex, cap=cap, resume=carry is not None, NT_g=NT_g,
         lane_gather=_env[1], deep_tex=deep_tex, C_t=C_t,
-        checker_depth=int(flat.checker_depth))
+        checker_depth=int(flat.checker_depth),
+        vquad_mode=vquad_mode, C_q=C_q, C_qg=C_qg)
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -2689,8 +2868,8 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                nodei.T, bprims]
     in_specs += [smem()] * 15
     # per-lane-gather tables live in VMEM (gather operands), whole-array
-    inputs += [ntab, ptab, pmtab, vtex]
-    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+    inputs += [ntab, ptab, pmtab, vtex, vqtab, qptab, qpmtab]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
 
     # lane mode keeps big per-lane gather scratch (one-hot matmul buffers +
     # (R,128,nfp) field blocks) live across the traversal while_loop; the

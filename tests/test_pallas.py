@@ -505,3 +505,44 @@ def test_compacted_schedule_matches_single_pass():
     four = np.asarray(render_pass_pallas_compacted(
         flat, cam, jnp.uint32(7), jnp.int32(3), caps=(4, 4), **kw))
     assert np.allclose(one, four, atol=1e-5)
+
+
+def test_vquad_chunks_match_oracle():
+    """Quad counts beyond MAX_QUADS_VSCAN move to vectorized 128-quad
+    chunk tables (vquad; round 4) instead of the per-quad scalar loop or
+    the opt-in stack traversal: Morton-chunked quad tests, chunk-AABB
+    culling behind the sphere chunk boxes, and a selected-winner merge
+    with exact cross-class t comparison. 90 quads + 40 spheres + an
+    emitter, validated vs the pure-JAX oracle."""
+    import real_time_ray_tracing_engine_tpu.ops.wavefront_pallas as wp
+    rng = np.random.default_rng(17)
+    objs = []
+    for i in range(90):
+        c = rng.uniform(-5.0, 5.0, 3)
+        u = rng.uniform(0.4, 1.2, 3) * np.array([1.0, 0.0, 1.0])
+        v = rng.uniform(0.4, 1.2, 3) * np.array([0.0, 1.0, 1.0])
+        albedo = tuple(map(float, rng.uniform(0.2, 0.9, 3)))
+        objs.append(rt.Quad(tuple(map(float, c)), tuple(map(float, u)),
+                            tuple(map(float, v)),
+                            rt.Lambertian(rt.SolidColor(albedo))))
+    for i in range(40):
+        c = tuple(map(float, rng.uniform(-5, 5, 3)))
+        albedo = tuple(map(float, rng.uniform(0.2, 0.9, 3)))
+        m = (rt.Metal(albedo, fuzz=0.3) if i % 6 == 0
+             else rt.Lambertian(rt.SolidColor(albedo)))
+        objs.append(rt.Sphere(c, 0.4, m))
+    light = rt.Sphere((0, 9, 0), 2.0,
+                      rt.DiffuseLight(rt.SolidColor((5, 5, 5))))
+    objs.append(light)
+    scene = rt.Scene(objects=objs, lights=[light],
+                     camera=rt.CameraConfig(
+                         image_width=40, aspect_ratio=1.0,
+                         samples_per_pixel=4, max_depth=4, vfov=50,
+                         lookfrom=(0, 2, 12), lookat=(0, 0, 0),
+                         background=(0.4, 0.5, 0.7)))
+    flat = compile_scene(scene)
+    assert wp._kernel_modes(flat)[3]
+    assert flat.quad_corner.shape[0] > wp.MAX_QUADS_VSCAN
+    assert supports_pallas(flat)
+    img_p, img_j = _compare(scene)
+    _assert_close(img_p, img_j)
