@@ -27,6 +27,25 @@ from real_time_ray_tracing_engine_tpu.ops.wavefront_pallas import (  # noqa: E40
     render_pass_pallas, render_pass_pallas_compacted, pallas_gate_reason)
 
 
+def city_scene(n_boxes=50):
+    """Box-city: 6*n_boxes+1 quads — the vquad-chunk regime (>64 quads)."""
+    rng = np.random.default_rng(3)
+    objs = []
+    for i in range(n_boxes):
+        x, z = rng.uniform(-20, 20, 2)
+        hgt = float(rng.uniform(1, 6))
+        albedo = tuple(map(float, rng.uniform(0.3, 0.9, 3)))
+        objs.append(rt.Box((x, 0, z), (x + 1.5, hgt, z + 1.5),
+                           rt.Lambertian(rt.SolidColor(albedo))))
+    objs.append(rt.Quad((-40, 0, -40), (80, 0, 0), (0, 0, 80),
+                        rt.Lambertian(rt.SolidColor((0.5, 0.5, 0.5)))))
+    cam = rt.CameraConfig(aspect_ratio=16 / 9, image_width=400,
+                          samples_per_pixel=9, max_depth=6,
+                          lookfrom=(30, 12, 30), lookat=(0, 2, 0),
+                          sky_gradient=True)
+    return rt.Scene(objects=objs, camera=cam, name="city")
+
+
 def grid_scene(n=17):
     """n^3 lambertian sphere grid under a sky — the >4096-prim regime."""
     objs = []
@@ -131,6 +150,9 @@ if __name__ == "__main__":
     if which in ("bvh", "all"):
         bench("bouncing/bvh", rt.builders.bouncing_spheres(image_width=400),
               use_bvh=True, depth=50, spp=9, R=R)
+    if which in ("city", "all"):
+        bench("city301/vquad", city_scene(), use_bvh=False, depth=6, spp=9,
+              R=R)
     if which in ("grid", "all"):
         bench("grid4913/scan", grid_scene(), use_bvh=False, depth=8, spp=9,
               R=R)
