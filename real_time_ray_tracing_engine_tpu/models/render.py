@@ -131,17 +131,19 @@ def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
            seed: int = 0, use_bvh: bool = False, tile_rows: int | None = None,
            samples_per_batch: int = 4, spp: int | None = None,
            progress=None, engine: str = "auto",
-           schedule: str = "auto") -> jnp.ndarray:
+           schedule: str = "auto", caps: tuple | None = None) -> jnp.ndarray:
     """Render a full image; returns (H, W, 3) linear float32.
 
     Accepts either a schema Scene (compiled here) or a prebuilt FlatScene +
     explicit CameraConfig. engine: "auto" | "pallas" | "jax" (pick_engine).
 
     schedule (pallas engine only): "auto" | "single" | "compacted".
-    "compacted" runs the two-phase capped + lane-compacted wavefront
+    "compacted" runs the capped + lane-compacted wavefront
     (ops.wavefront_pallas.render_pass_pallas_compacted), which recovers the
     straggler-lane idle tail at medium/high spp; "auto" picks it for
-    single-pass renders of >= 8 samples.
+    single-pass renders of >= 8 samples. caps overrides the compacted
+    schedule's per-phase bounce-iteration caps (e.g. (20, 20); default is
+    mode-aware, BASELINE.md).
     """
     if isinstance(scene, Scene):
         cfg = cfg or scene.camera
@@ -180,11 +182,13 @@ def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
                          or (schedule == "auto" and k >= 8 and not interp))
             pass_fn = (render_pass_pallas_compacted if compacted
                        else render_pass_pallas)
+            extra = {"caps": caps} if (compacted and caps) else {}
             try:
                 acc = acc + pass_fn(
                     flat, cam, seed, s, width=width, height=height,
                     n_strata=n_strata, max_depth=cfg.max_depth, n_samples=k,
-                    sky_gradient=cfg.sky_gradient, interpret=interp)
+                    sky_gradient=cfg.sky_gradient, interpret=interp,
+                    **extra)
                 s += k
             except Exception as e:            # Mosaic lowering / XLA runtime
                 eng = _fallback_to_jax(e)     # failure -> degrade, keep `s`

@@ -454,7 +454,9 @@ def _pack_vscan_tables(flat: FlatScene, primmat_s):
       vtab (C*128, 8) f32 — prim rows on SUBLANES, fields on lanes
         [cx cy cz cdx cdy cdz r valid]; 8-row-aligned dynamic slices pull
         one chunk's (128, 8) block per loop step.
-      ptab (C*8, 128) — same fields chunk-major (gather_fields layout) for
+      ptab (C_g*16, 128) — same fields + the ORIGINAL sphere row id
+        (col 8, for hard-slot theta aliasing), chunk-major
+        (gather_fields layout) for
         the once-per-bounce winner re-derivation.
       pmtab (C*24, 128) — resolved per-prim material rows (PMCOLS), same
         Morton order, gathered once for the winner.
@@ -1274,11 +1276,12 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         # ------- closest hit, vectorized prim-chunk scan (round-4 default
         # for every non-unrolled scene; tables in _pack_vscan_tables)
         def vscan_select(ox0, oy0, oz0, dx0, dy0, dz0, tm0, alive):
-            """One Morton chunk of 128 spheres is tested against the whole
-            tile as (128 prims, 128 rays) outer-product vector ops per
-            ray-row — prim fields broadcast from (128, 1) VMEM columns, ray
-            fields from (1, 128) plane rows — so the VPU runs dense 16-vreg
-            ops and the scalar core only issues the chunk loop plus one
+            """Winner SELECTION for the vectorized prim-chunk scan: one
+            Morton chunk of 128 prims is tested against the whole tile as
+            (128 prims, 128 rays) outer-product vector ops per ray-row —
+            prim fields broadcast from (128, 1) VMEM columns, ray fields
+            from (1, 128) plane rows — so the VPU runs dense 16-vreg ops
+            and the scalar core only issues the chunk loop plus one
             whole-tile AABB cull per chunk (the flat TPU stand-in for the
             reference's per-ray BVH descent, BVHNode.cpp:385-446). The
             running winner is a bitcast int32 key
@@ -1286,12 +1289,11 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             prim (sublane) axis: positive-f32 bit patterns order like the
             floats, so int-min == float-min, and the id steals the low
             mantissa bits (~2^-17 relative selection fuzz between
-            near-coincident surfaces; the winner's t itself is re-derived
-            EXACTLY below). Winner t / normal / resolved material row come
-            from chunked per-lane gathers (gather_fields) ONCE per bounce.
-            Quads run a per-quad masked loop after the sphere winner is
-            materialized (vscan scenes carry few quads; quad-heavy use_bvh
-            scenes take the shared-stack mode instead, _kernel_modes)."""
+            near-coincident surfaces; the winner's record is re-derived
+            EXACTLY in vscan_record). Quads beyond MAX_QUADS_VSCAN get
+            their own chunk tables here (vquad); smaller quad counts run a
+            per-quad masked loop in vscan_record instead.
+            Returns (sphere hit, sphere pid, quad hit, quad pid)."""
             # the chunk/cull phase (winner SELECTION) is discrete: run it on
             # stop_gradient'd ray state so jax.linearize (hard-slot tangent
             # bundles) never differentiates through the bitcast winner keys

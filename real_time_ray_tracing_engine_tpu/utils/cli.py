@@ -54,9 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "wavefront (auto: pallas on TPU when supported)")
     p.add_argument("--schedule", choices=["auto", "single", "compacted"],
                    default="auto",
-                   help="pallas wavefront schedule: single pass or two-phase "
+                   help="pallas wavefront schedule: single pass or "
                         "capped + lane-compacted (auto: compacted for >=8 "
                         "samples per pass on TPU)")
+    p.add_argument("--caps", type=str, default=None,
+                   help="explicit compacted-schedule phase caps, e.g. "
+                        "'20,20' (default: mode-aware, BASELINE.md)")
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
     p.add_argument("--checkpoint", default=None,
                    help="dynamic mode: save/resume accumulation state (.npz)")
@@ -124,9 +127,11 @@ def main(argv=None) -> int:
             # ADVICE 4 — a blanket 16 silently changed per-batch memory
             # and progress granularity for --schedule single)
             spb = 4 if args.schedule == "single" else 16
+            caps = (tuple(int(c) for c in args.caps.split(","))
+                    if args.caps else None)
             img = rt.render(scene, use_bvh=args.bvh, seed=args.seed,
                             engine=args.engine, schedule=args.schedule,
-                            samples_per_batch=spb,
+                            samples_per_batch=spb, caps=caps,
                             progress=lambda s, t: print(
                                 f"\r[INFO] sample {s}/{t}", end="",
                                 file=sys.stderr))
