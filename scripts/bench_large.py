@@ -65,7 +65,11 @@ def grid_scene(n=17):
     return rt.Scene(objects=objs, lights=[], camera=cam, name="grid")
 
 
-def bench(name, scene, *, use_bvh, depth, spp, R, reps=3, compacted=False):
+def bench(name, scene, *, use_bvh, depth, spp, R, reps=6, compacted=False):
+    """Device-chained reps, ONE scalar fetch, best of two chains: the
+    per-run ~1 MB image fetch + dispatch through the axon tunnel costs
+    ~20 ms and buried the round-4 kernels (a ~31 ms bouncing pass measured
+    as ~50 ms) — see BASELINE.md measurement correction."""
     flat = compile_scene(scene, use_bvh=use_bvh)
     reason = pallas_gate_reason(flat)
     if reason is not None:
@@ -74,28 +78,38 @@ def bench(name, scene, *, use_bvh, depth, spp, R, reps=3, compacted=False):
     cam = cam_mod.derive(scene.camera)
     w, h = cam_mod.image_size(scene.camera)
     seed = jnp.asarray(0, jnp.uint32)
+    interp = jax.default_backend() == "cpu"
 
     def run(s0):
         fn = render_pass_pallas_compacted if compacted else render_pass_pallas
         return fn(
-            flat, cam, seed, jnp.asarray(s0, jnp.int32), width=w, height=h,
+            flat, cam, seed, s0, width=w, height=h,
             n_strata=3, max_depth=depth, n_samples=spp,
             sky_gradient=scene.camera.sky_gradient, rows_per_tile=R,
-            interpret=jax.default_backend() == "cpu")
+            interpret=interp)
+
+    @jax.jit
+    def chain(s0):
+        def body(c, k):
+            return c + run(s0 + k * spp).sum(), None
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0), jnp.arange(reps))
+        return acc
 
     t0 = time.perf_counter()
-    out = np.asarray(run(0))
+    out = np.asarray(run(jnp.asarray(0, jnp.int32)))
     tc = time.perf_counter() - t0
     assert np.isfinite(out).all()
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = run((i + 1) * spp)
-    np.asarray(out)
-    dt = (time.perf_counter() - t0) / reps
+    float(chain(jnp.asarray(0, jnp.int32)))          # compile the chain
+    dt = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        float(chain(jnp.asarray((i + 1) * spp, jnp.int32)))
+        dt = min(dt, (time.perf_counter() - t0) / reps)
     mp = w * h * spp / dt / 1e6
     print(f"[{name}] {w}x{h} spp{spp} d{depth} R={R} "
           f"prims={flat.n_prims} bvh={use_bvh}: {mp:.2f} Mpaths/s "
-          f"({dt*1e3:.0f} ms/pass, compile {tc:.0f}s)", flush=True)
+          f"({dt*1e3:.0f} ms/pass, first-pass compile {tc:.0f}s)",
+          flush=True)
 
 
 def bench_sync(name, scene, *, use_bvh, depth, spp, R, reps=2):
