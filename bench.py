@@ -80,11 +80,11 @@ def main():
     @jax.jit
     def run_chain(_):
         def body(acc, i):
-            return acc + run((i + 1) * spp), None
+            return acc + run((i + 1) * spp).sum(), None
         acc, _ = jax.lax.scan(
-            body, jnp.zeros((h, w, 3), jnp.float32),
+            body, jnp.asarray(0.0, jnp.float32),
             jnp.arange(reps, dtype=jnp.int32))
-        return acc
+        return acc                  # scalar: timing excludes image fetch
 
     out = np.asarray(run(0))                      # warmup/compile + fetch
     assert np.isfinite(out).all(), "non-finite radiance"
