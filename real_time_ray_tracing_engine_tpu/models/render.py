@@ -182,7 +182,17 @@ def render(scene: Scene | FlatScene, cfg: CameraConfig | None = None, *,
                          or (schedule == "auto" and k >= 8 and not interp))
             pass_fn = (render_pass_pallas_compacted if compacted
                        else render_pass_pallas)
-            extra = {"caps": caps} if (compacted and caps) else {}
+            # `caps is not None` (not truthiness): an explicit empty tuple
+            # is still a user request and must not silently vanish
+            if caps is not None and not compacted:
+                import sys
+                print("[INFO] caps= ignored: the compacted schedule is not "
+                      f"selected (schedule={schedule!r}, "
+                      f"{k} samples this pass; caps apply only to "
+                      "schedule='compacted' or auto-compacted passes)",
+                      file=sys.stderr)
+            extra = ({"caps": caps}
+                     if (compacted and caps is not None) else {})
             try:
                 acc = acc + pass_fn(
                     flat, cam, seed, s, width=width, height=height,

@@ -45,8 +45,9 @@ Four intersection strategies, chosen statically by scene shape
     once-per-bounce chunked winner gathers. Replaces round 3's per-prim
     scalar-read scan (measured scalar-issue-bound): bouncing-spheres
     5.8 -> 17+ Mpaths/s, grid-4913 1.6 -> 5.5 on v5e.
-  - stack BVH (RTX_BVH_STACK=1, or quad-heavy use_bvh scenes): whole-tile
-    shared-SMEM-stack traversal of the SAH BVH, segregated typed leaves.
+  - stack BVH (RTX_BVH_STACK=1 only — an opt-in measured loser vs vscan
+    at every size tried): whole-tile shared-SMEM-stack traversal of the
+    SAH BVH, segregated typed leaves.
   - lane BVH (RTX_LANE_BVH=1, all-sphere use_bvh scenes): per-lane
     STACKLESS skip-link traversal via 128-lane dynamic gathers. The only
     mode whose work scales with what each RAY sees — but each gather costs
@@ -90,14 +91,19 @@ BVH_STACK = 64          # reference BVHNode.cpp:398 traversal stack depth
 SMEM_BUDGET = 920_000
 
 
-def _smem_table_bytes(flat: FlatScene) -> int:
+def _smem_table_bytes(flat: FlatScene, n_hard_slots: int = 0) -> int:
     """Actual SMEM footprint of the kernel's scene tables, in bytes.
 
     Tables are passed transposed (cols, rows) — each of the few cols pads its
     row of `rows` f32/i32 entries to a 128-element multiple — so the cost is
     essentially the data size, and the prim cap is a *derived* budget check
     instead of a guessed constant (round-1 ADVICE: the old 4096 cap was
-    untested against real SMEM capacity)."""
+    untested against real SMEM capacity).
+
+    n_hard_slots > 0 models the fused hard-parameter backward on vscan
+    scenes, where the wrapper keeps the FULL sphf + matf tables in SMEM for
+    theta aliasing instead of the slimmed 1-row stubs (round-4 ADVICE item
+    2: the gate must reflect the grad pass's actual footprint)."""
     def t(cols, rows):
         return 4 * cols * (-(-max(rows, 1) // 128) * 128)
 
@@ -117,7 +123,7 @@ def _smem_table_bytes(flat: FlatScene) -> int:
     # (vscan) or medium rows (lane) in SMEM
     B = flat.bvh_bbox_min.shape[0] if bvh else 1
     vquad = vscan and Q > MAX_QUADS_VSCAN
-    n_sph = 1 if (lane or vscan) else S
+    n_sph = 1 if (lane or (vscan and not n_hard_slots)) else S
     n_quadf = 1 if vquad else Q
     n_vbox = ((-(-S // VCHUNK)) + (-(-Q // VCHUNK) if vquad else 0)
               if (vscan and S) else 1)
@@ -130,10 +136,11 @@ def _smem_table_bytes(flat: FlatScene) -> int:
     else:
         n_primmat = P + M
     n_mt = NM if unroll else 1
+    n_matf = NM if (unroll or (vscan and n_hard_slots)) else 1
     n_tex = NT if unroll else 1
     return (t(8, n_sph) + t(18, n_quadf) + t(1, P + M)
             + t(25, max(flat.n_lights, 1))
-            + t(2, n_mt) * 2 + t(14, n_tex)
+            + t(2, n_mt) + t(2, n_matf) + t(14, n_tex)
             + t(PMCOLS, n_primmat)              # resolved per-prim rows
             + t(6, n_vbox)                      # vscan chunk boxes
             + t(3 + 4 * MS + 17 * MQ, max(M, 1))
@@ -301,6 +308,13 @@ def pallas_hard_slots_gate_reason(flat: FlatScene,
     if n_slots > MAX_HARD_SLOTS_VSCAN:
         return (f"{n_slots} hard slots exceed MAX_HARD_SLOTS_VSCAN="
                 f"{MAX_HARD_SLOTS_VSCAN} tangent bundles (replay backward)")
+    # the grad wrapper keeps the FULL sphf + matf tables in SMEM for theta
+    # aliasing — re-check the budget at the grad pass's actual footprint
+    smem = _smem_table_bytes(flat, n_hard_slots=n_slots)
+    if smem > SMEM_BUDGET:
+        return (f"hard-slot grad tables need {smem} B of TPU scalar "
+                f"memory (full sphere+material tables for theta aliasing), "
+                f"over the {SMEM_BUDGET} B budget")
     return None
 
 
@@ -416,10 +430,11 @@ def _kernel_modes(flat: FlatScene, env=None):
     and per-lane BVH traversals up to the MAX_PRIMS_SCAN bound, because its
     per-bounce work is dense (128 prims x 128 rays) vector ops with
     Morton-chunk AABB culling, not per-prim scalar reads or per-lane
-    gathers. The traversal kernels stay reachable: RTX_BVH_STACK=1 forces
-    the shared-stack mode (also auto-selected for quad-heavy use_bvh
-    scenes, where vscan's per-quad fori would dominate), RTX_LANE_BVH=1 the
-    per-lane skip-link mode."""
+    gathers. The traversal kernels stay reachable ONLY by env opt-in:
+    RTX_BVH_STACK=1 forces the shared-stack mode, RTX_LANE_BVH=1 the
+    per-lane skip-link mode; there is no auto-selection of either (round-4
+    measurements: both lose to vscan/vquad at every size tried —
+    quad-heavy scenes take vquad chunk tables, BASELINE.md)."""
     if env is None:
         env = _kernel_env()
     lane_bvh, _gather, bvh_stack = env
@@ -2916,19 +2931,33 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     return (img, dg_tex, dg_hard) if grad_tex else img
 
 
+def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start,
+                                 **kw):
+    """Public entry for the capped + compacted schedule: resolves the RTX_*
+    kernel-mode env knobs OUTSIDE the jit boundary and threads them through
+    as the static `_env` argument — same hazard fix as render_pass_pallas
+    (round-4 ADVICE item 4: flipping RTX_BVH_STACK/RTX_LANE_BVH mid-process
+    must recompile, not silently reuse the stale mode-aware cap schedule).
+    When called inside an outer jit the env is read at that trace time —
+    same caveat, one level up."""
+    kw.setdefault("_env", _kernel_env())
+    return _render_pass_pallas_compacted(flat, cam, seed, sample_start, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
                      "sky_gradient", "rows_per_tile", "interpret", "cap",
-                     "phases", "caps"))
-def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
-                                 width: int, height: int, n_strata: int,
-                                 max_depth: int, n_samples: int,
-                                 sky_gradient: bool = False,
-                                 rows_per_tile: int | None = None,
-                                 interpret: bool = False, row0=0,
-                                 cap: int = 0, phases: int = 2,
-                                 caps: tuple | None = None):
+                     "phases", "caps", "_env"))
+def _render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
+                                  width: int, height: int, n_strata: int,
+                                  max_depth: int, n_samples: int,
+                                  sky_gradient: bool = False,
+                                  rows_per_tile: int | None = None,
+                                  interpret: bool = False, row0=0,
+                                  cap: int = 0, phases: int = 2,
+                                  caps: tuple | None = None,
+                                  _env: tuple = None):
     """Two-phase capped + compacted wavefront schedule (forward renders).
 
     The single-pass megakernel spins each tile until its SLOWEST lane
@@ -2966,6 +2995,8 @@ def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
     # derive the same per-mode default deterministically — so the lane/
     # vscan defaults stay consistent across the capped + resume passes
     # (round-3 ADVICE item 2)
+    if _env is None:
+        _env = _kernel_env()
     if caps is None:
         if cap == 0:
             # mode-aware default: unrolled Cornell-class scenes have long
@@ -2974,7 +3005,7 @@ def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
             # have short means (~2-3) — two phases of 2x spp measured best
             # on v5e round 4 (bouncing 10.5 -> 17.7, grid 3.2 -> 5.5);
             # `caps` overrides everything with an explicit phase schedule
-            unroll = _kernel_modes(flat, _kernel_env())[0]
+            unroll = _kernel_modes(flat, _env)[0]
             if not unroll:
                 caps = (max(2 * n_samples, 2),) * 2
             else:
@@ -2993,8 +3024,13 @@ def render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
     common = dict(width=width, height=height, n_strata=n_strata,
                   max_depth=max_depth, n_samples=n_samples,
                   sky_gradient=sky_gradient, rows_per_tile=rows_per_tile,
-                  interpret=interpret)
+                  interpret=interpret, _env=_env)
     n_pix = width * height
+    if caps == ():
+        # zero capped phases = one plain uncapped pass (an explicit empty
+        # caps tuple is a user request, not an absence — round-4 ADVICE 3)
+        return render_pass_pallas(flat, cam, seed, sample_start, row0=row0,
+                                  **common)
     rad = None
     perm = None
     st = None

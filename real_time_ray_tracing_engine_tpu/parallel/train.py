@@ -74,11 +74,24 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
                                         hard_param_slots,
                                         light_sphere_sources,
                                         HARD_SLOT_FIELDS)
+    from ..ops.wavefront_pallas import MAX_GRAD_TEXS
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     grad_reason = pallas_grad_gate_reason(baked)
     scan_tex_reason = pallas_scan_grad_gate_reason(baked)
     light_src = light_sphere_sources(baked)
+    if (scan_tex_reason is None
+            and baked.tex_color.shape[0] > MAX_GRAD_TEXS):
+        # round-4 ADVICE item 5: the suffix-radiance backward is exact
+        # EXCEPT that a texture channel whose albedo is exactly 0 gets a 0
+        # scatter-gradient (one-sided boundary) — surface the limitation
+        # once at build time so dark-initialized training is not a mystery
+        print(f"[INFO] tex_color backward: {baked.tex_color.shape[0]} "
+              f"texture rows > MAX_GRAD_TEXS={MAX_GRAD_TEXS} selects the "
+              "suffix-radiance estimator — exact, except channels with "
+              "albedo exactly 0 report a 0 scatter-gradient (one-sided "
+              "boundary); nudge dark initializations by epsilon if "
+              "training from black", flush=True)
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
     total_spp = n_strata * n_strata
