@@ -155,6 +155,15 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
                               or ((not want_tex
                                    or scan_tex_reason is None)
                                   and (not slots or hard_reason is None)))
+        # mixed-tier backward (round-4 VERDICT item 2): when only the HARD
+        # families are gate-blocked (e.g. 2,013 geometry slots on
+        # bouncing_spheres) but the tex gate is clear, run the fused
+        # tex_color backward at kernel speed and replay ONLY the hard
+        # families — instead of collapsing everything to the ~600x replay
+        mixed_ok = (known and not fused_ok and want_tex and slots
+                    and grad_reason is not None
+                    and scan_tex_reason is None
+                    and hard_reason is not None)
         if fused_ok and not (want_tex or slots):
             # nothing requested actually exists in this scene (e.g. fuzz
             # with no metals): the gradient is identically zero
@@ -182,6 +191,34 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
                 f = HARD_SLOT_FIELDS[slot[0]]
                 idx = slot[1] if slot[0] != "sphc" else (slot[1], slot[2])
                 dp[f] = dp[f].at[idx].add(dg_hard[k])
+        elif mixed_ok:
+            import sys
+            print("[INFO] mixed-tier backward: fused tex_color gradient + "
+                  f"pure-JAX replay for the hard families only "
+                  f"({hard_reason})", file=sys.stderr)
+            _, dg_tex, _ = render_pass_pallas(
+                set_params(baked, params), cam, seed_f,
+                s0_f.astype(jnp.int32), width=width, height=h_local,
+                n_strata=n_strata, max_depth=max_depth, n_samples=spp_local,
+                sky_gradient=sky_gradient, interpret=interpret,
+                row0=row0_f.astype(jnp.int32), cotangent=g,
+                hard_slots=(), light_src=light_src, want_tex=True,
+                rows_per_tile=16)
+            hard_fields = requested - {"tex_color"}
+
+            @jax.checkpoint
+            def replay_hard(ph):
+                return _tile_sample_render(
+                    set_params(baked, {**params, **ph}), cam, seed_f,
+                    width=width, height_local=h_local,
+                    row0=row0_f.astype(jnp.int32), n_strata=n_strata,
+                    spp_local=spp_local, sample0=s0_f.astype(jnp.int32),
+                    max_depth=max_depth, sky_gradient=sky_gradient)
+
+            _, vjp = jax.vjp(replay_hard,
+                             {f: params[f] for f in hard_fields})
+            (dp,) = vjp(g)
+            dp["tex_color"] = dg_tex
         else:
             if grad_reason is not None:
                 import sys

@@ -714,3 +714,75 @@ def test_stack_bvh_suffix_tex_grad_matches_weight_planes(monkeypatch):
         wp.MAX_GRAD_TEXS = old
     np.testing.assert_allclose(np.asarray(dg_s), np.asarray(dg_w),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mixed_tier_backward_vscan_geometry(capsys):
+    """Mixed-tier backward (round-4 VERDICT item 2): on a vscan scene whose
+    requested GEOMETRY slots exceed MAX_HARD_SLOTS_VSCAN, make_kernel_render
+    must run the fused tex_color backward at kernel speed and replay ONLY
+    the hard families — not collapse tex_color into the replay too. The
+    combined gradient must match jax.vjp of the full pure-JAX replay."""
+    import real_time_ray_tracing_engine_tpu.ops.wavefront_pallas as wp
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+    from real_time_ray_tracing_engine_tpu.parallel import train
+    from real_time_ray_tracing_engine_tpu.parallel.mesh import (
+        make_render_mesh, _tile_sample_render)
+
+    rng = np.random.default_rng(33)
+    objs = []
+    for i in range(78):
+        c = tuple(map(float, rng.uniform(-4, 4, 3)))
+        albedo = tuple(map(float, rng.uniform(0.25, 0.9, 3)))
+        objs.append(rt.Sphere(c, 0.5, rt.Lambertian(rt.SolidColor(albedo))))
+    light = rt.Sphere((0, 8, 0), 2.0,
+                      rt.DiffuseLight(rt.SolidColor((6., 6., 6.))))
+    objs.append(light)
+    scene = rt.Scene(objects=objs, lights=[light],
+                     camera=rt.CameraConfig(
+                         image_width=16, aspect_ratio=1.0,
+                         samples_per_pixel=4, max_depth=3, vfov=45,
+                         lookfrom=(0, 2, 11), lookat=(0, 0, 0),
+                         background=(0.3, 0.4, 0.6)))
+    flat = compile_scene(scene)
+    assert wp._kernel_modes(flat)[3]                    # vscan selected
+    requested = {"tex_color", "sph_center"}
+    slots = wp.hard_param_slots(flat, {"sph_center"})
+    assert len(slots) > wp.MAX_HARD_SLOTS_VSCAN          # forces mixed tier
+    assert wp.pallas_scan_grad_gate_reason(flat) is None  # tex gate clear
+
+    mesh = make_render_mesh(1, 1, devices=jax.devices()[:1])
+    W, H = cam_mod.image_size(scene.camera)
+    cam = cam_mod.derive(scene.camera)
+    render = train.make_kernel_render(
+        flat, mesh=mesh, width=W, height=H, n_strata=2, max_depth=3)
+    g = jnp.asarray(rng.normal(size=(H, W, 3)), jnp.float32)
+    params = {k: v for k, v in train.get_params(flat).items()
+              if k in requested}
+
+    def loss(p):
+        return jnp.sum(render(p, cam, jnp.asarray(0.0)) * g)
+
+    dp = jax.jit(jax.grad(loss))(params)
+    err = capsys.readouterr().err
+    assert "mixed-tier backward" in err, err
+
+    seed = jnp.asarray(0, jnp.uint32)
+
+    def replay(p):
+        return _tile_sample_render(
+            train.set_params(flat, p), cam, seed, width=W, height_local=H,
+            row0=jnp.asarray(0, jnp.int32), n_strata=2, spp_local=4,
+            sample0=jnp.asarray(0, jnp.int32), max_depth=3,
+            sky_gradient=False) / 4.0
+
+    _, vjp = jax.vjp(replay, params)
+    (want,) = vjp(g)
+    np.testing.assert_allclose(np.asarray(dp["sph_center"]),
+                               np.asarray(want["sph_center"]),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dp["tex_color"]),
+                               np.asarray(want["tex_color"]),
+                               rtol=2e-2, atol=2e-3)
+    # real signal reached both tiers
+    assert float(np.abs(np.asarray(dp["sph_center"])).max()) > 1e-4
+    assert float(np.abs(np.asarray(dp["tex_color"])).max()) > 1e-4
