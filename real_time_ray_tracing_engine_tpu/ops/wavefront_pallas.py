@@ -173,6 +173,16 @@ def _morton3(x, y, z):
 
 
 # ------------------------------------------------------- plane-vector math
+def _sqrt0(x):
+    """sqrt(max(x, 0)) with a finite gradient at the clamp: bit-identical
+    forward values, but the reverse-mode cotangent through the x <= 0
+    branch is exactly 0 instead of 0 * inf = NaN (the where-NaN-grad trap;
+    the adjoint backward pushes zero cotangents through every non-hit
+    lane's discriminant, which sits exactly at the clamp)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
@@ -337,6 +347,21 @@ def pallas_scan_grad_gate_reason(flat: FlatScene) -> str | None:
     (_make_kernel grad_suffix) — exact except that a channel whose albedo
     is exactly 0 gets a 0 scatter-gradient (one-sided boundary case)."""
     return pallas_gate_reason(flat)
+
+
+def pallas_adjoint_gate_reason(flat: FlatScene) -> str | None:
+    """Why the in-kernel ADJOINT (reverse-mode) backward cannot run on this
+    scene (None = it can). The adjoint pass covers EVERY trainable family
+    (tex_color + fuzz + IOR + sphere geometry) at O(1) cost per parameter
+    with no slot cap and no zero-albedo caveat — it always takes the
+    vscan/vquad kernel path, so the only gates are the base kernel gates.
+    RTX_ADJOINT=0 disables it (read at bake time, like the other gates)."""
+    r = pallas_gate_reason(flat)
+    if r is not None:
+        return r
+    if os.environ.get("RTX_ADJOINT", "1") == "0":
+        return "disabled by RTX_ADJOINT=0"
+    return None
 
 
 # trainable-field <-> hard-slot mapping shared with parallel/train.py
@@ -812,7 +837,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  C_n=1, C_p=1, B_n=1,
                  P_n=1, cap=0, resume=False, NT_g=None,
                  lane_gather="take", deep_tex=False, C_t=1,
-                 checker_depth=1, vquad_mode=False, C_q=1, C_qg=1):
+                 checker_depth=1, vquad_mode=False, C_q=1, C_qg=1,
+                 grad_adjoint=False, NM_g=None):
     """grad_tex=True builds the fused forward+backward variant: alongside the
     radiance image it accumulates d<g, radiance>/d(theta) for trainable scene
     parameters by exact forward-mode differentiation, in two tiers:
@@ -880,6 +906,28 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             else 0)
     NTc = -(-NT_g // 128) if grad_suffix else 0
 
+    # ---- adjoint (reverse-mode) backward statics (round-5 VERDICT item 1):
+    # always the vscan/vquad kernel path; chunked accumulator rows for
+    # every trainable family at O(1) cost per parameter
+    if NM_g is None:
+        NM_g = NM
+    if grad_adjoint:
+        assert vscan_mode and not grad_tex and not cap and not resume, \
+            "adjoint backward: vscan-mode single-pass only"
+    Tc_a = -(-NT_g // 128) if grad_adjoint else 0
+    Sc_a = -(-max(S, 1) // 128) if grad_adjoint else 0
+    Mc_a = -(-max(NM_g, 1) // 128) if grad_adjoint else 0
+    # sphere-light geometry reads become traced diff inputs so gradients
+    # flow through MIS light pdf/sampling into the source sphere's rows
+    adj_light_map = {}
+    adj_light_slots = []          # [(light row, lightf col, sphere row)]
+    if grad_adjoint:
+        for l, si in enumerate(light_src):
+            if si is not None and si >= 0:
+                for col in (1, 2, 3, 7):
+                    adj_light_map[(l, col)] = len(adj_light_slots)
+                    adj_light_slots.append((l, col, si))
+
     # static map (table, row, col) -> theta slot index for the SMEM-read
     # helpers below; sphere-light rows alias their source sphere's slots
     theta_map = {}
@@ -907,7 +955,14 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
 
     def kernel(pix_ref, fi_ref, fj_ref, *rest):
         stin_ref = stout_ref = None
-        if grad_tex:
+        store_ref = None
+        if grad_adjoint:
+            (g_ref, iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref,
+             lightf_ref, mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
+             medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref,
+             ptab_ref, pmtab_ref, vtex_ref, vqtab_ref, qptab_ref,
+             qpmtab_ref, out_ref, dg_ref, stack_ref, store_ref) = rest
+        elif grad_tex:
             (g_ref, iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref,
              lightf_ref, mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
              medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref,
@@ -1811,7 +1866,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 eff = jnp.where(noi, -1.0, eff)
             return tr, tg, tb, eff
 
-        def tex_eval_dag(row0, px, py, pz, turb):
+        def tex_eval_dag(row0, px, py, pz, turb, full=False):
             """Arbitrary-depth checker DAGs for the non-unrolled modes
             (round-4, VERDICT item 7): descend the texture table per lane
             via chunked gathers over the vtex VMEM table (fields [cr cg cb
@@ -1842,6 +1897,10 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 cg = jnp.where(noi, marble, cg)
                 cb = jnp.where(noi, marble, cb)
                 eff = jnp.where(noi, -1.0, eff)
+            if full:
+                # adjoint ctx wants the RAW leaf fields (marble is applied
+                # on the differentiated side from the leaf scale/noi flags)
+                return cr, cg, cb, eff, scale, is_noi
             return cr, cg, cb, eff
 
         # ----------------------------- texture color at (point, tex index)
@@ -1900,22 +1959,26 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
             return rr, gg, bb, eff
 
         # ----------------------------- light pdf / sample (unrolled over L)
-        def light_pdf(th_, ox, oy, oz, dx, dy, dz, tm):
-            """Uniform-average solid-angle pdf (lights.light_pdf_value)."""
+        def light_pdf(th_, ox, oy, oz, dx, dy, dz, tm, lread=None):
+            """Uniform-average solid-angle pdf (lights.light_pdf_value).
+            lread overrides the theta-aliased SMEM read (the adjoint pass
+            substitutes traced diff inputs for sphere-light geometry)."""
+            if lread is None:
+                lread = light_read
             total = zero
             for l in range(L):
                 is_s = lightf_ref[0, l] > 0.5
                 # sphere: hit test + cone solid angle (Sphere.cpp:145-158)
-                scx = light_read(th_, 1, l) + tm * lightf_ref[4, l]
-                scy = light_read(th_, 2, l) + tm * lightf_ref[5, l]
-                scz = light_read(th_, 3, l) + tm * lightf_ref[6, l]
-                rad = light_read(th_, 7, l)
+                scx = lread(th_, 1, l) + tm * lightf_ref[4, l]
+                scy = lread(th_, 2, l) + tm * lightf_ref[5, l]
+                scz = lread(th_, 3, l) + tm * lightf_ref[6, l]
+                rad = lread(th_, 7, l)
                 ocx, ocy, ocz = scx - ox, scy - oy, scz - oz
                 a = _dot3(dx, dy, dz, dx, dy, dz)
                 h = _dot3(dx, dy, dz, ocx, ocy, ocz)
                 c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
                 disc = h * h - a * c
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                sq = _sqrt0(disc)
                 r0 = (h - sq) / a
                 r1 = (h + sq) / a
                 hit_s = ((disc > 0.0) & (rad > 0.0)
@@ -1957,17 +2020,19 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 total = total + jnp.where(is_s, pdf_s, pdf_q)
             return total / max(L, 1)
 
-        def light_sample(th_, ox, oy, oz, tm, u_sel, u1, u2):
+        def light_sample(th_, ox, oy, oz, tm, u_sel, u1, u2, lread=None):
             """Direction toward a uniformly chosen light (lights.light_sample)."""
+            if lread is None:
+                lread = light_read
             sel = jnp.clip((u_sel * L).astype(jnp.int32), 0, max(L - 1, 0))
             gx, gy, gz = zero, zero, zero
             for l in range(L):
                 is_s = lightf_ref[0, l] > 0.5
                 # sphere: cone sample via ONB toward center (Sphere.cpp:160-188)
-                scx = light_read(th_, 1, l) + tm * lightf_ref[4, l]
-                scy = light_read(th_, 2, l) + tm * lightf_ref[5, l]
-                scz = light_read(th_, 3, l) + tm * lightf_ref[6, l]
-                rad = light_read(th_, 7, l)
+                scx = lread(th_, 1, l) + tm * lightf_ref[4, l]
+                scy = lread(th_, 2, l) + tm * lightf_ref[5, l]
+                scz = lread(th_, 3, l) + tm * lightf_ref[6, l]
+                rad = lread(th_, 7, l)
                 tox, toy, toz = scx - ox, scy - oy, scz - oz
                 dist2 = jnp.maximum(
                     _dot3(tox, toy, toz, tox, toy, toz), 1e-12)
@@ -2016,7 +2081,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                     h = _dot3(dx, dy, dz, ocx, ocy, ocz)
                     c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
                     disc = h * h - a * c
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    sq = _sqrt0(disc)
                     ok_s = (disc > 0.0) & (rad > 0.0)
                     ts += [jnp.where(ok_s, (h - sq) / a, BIG),
                            jnp.where(ok_s, (h + sq) / a, BIG)]
@@ -2065,6 +2130,144 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 t_best = jnp.where(take, t_med, t_best)
                 row_best = jnp.where(take, float(m), row_best)
             return t_best, row_best
+
+        # ------------- shared shading/MIS core (miss -> emit -> scatter ->
+        # mixture pdf -> ray-state update): the uniform tail of every
+        # bounce once the hit record + material values are resolved. Used
+        # by `physics` (forward + linearized tangent paths) AND by the
+        # adjoint backward's per-bounce VJP function, so both directions
+        # differentiate the IDENTICAL estimator math. lread overrides the
+        # sphere-light geometry reads (adjoint diff inputs).
+        def shade_core(th_, alive, hit, px, py, pz, nx, ny, nz, front,
+                       fuzz, ior, tr, tg, tb, eff_tex,
+                       is_light, is_metal, is_diel, is_iso, u, tm,
+                       ox, oy, oz, dx, dy, dz, thx, thy, thz, lread=None):
+            # 1. miss -> background (Camera.cpp:242-243)
+            if sky_gradient:
+                a_sky = 0.5 * (dy + 1.0)
+                sbx = (1.0 - a_sky) + a_sky * 0.5
+                sby = (1.0 - a_sky) + a_sky * 0.7
+                sbz = (1.0 - a_sky) + a_sky * 1.0
+            else:
+                sbx, sby, sbz = bgx + zero, bgy + zero, bgz + zero
+            miss = alive & ~hit
+            drx = jnp.where(miss, thx * sbx, 0.0)
+            dry = jnp.where(miss, thy * sby, 0.0)
+            drz = jnp.where(miss, thz * sbz, 0.0)
+
+            # 2. emitted (front faces only, DiffuseLight.cpp:12-23)
+            live_hit = alive & hit
+            emit_on = live_hit & is_light & front
+            drx = drx + jnp.where(emit_on, thx * tr, 0.0)
+            dry = dry + jnp.where(emit_on, thy * tg, 0.0)
+            drz = drz + jnp.where(emit_on, thz * tb, 0.0)
+
+            # 3-4. scatter (materials.scatter semantics)
+            # metal: mirror + fuzz jitter (MetalMaterial.cpp:10-62)
+            dvn = _dot3(dx, dy, dz, nx, ny, nz)
+            rfx = dx - 2.0 * dvn * nx
+            rfy = dy - 2.0 * dvn * ny
+            rfz = dz - 2.0 * dvn * nz
+            rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
+            # unit_vector_from_uv(u_fuzz1, u_fuzz2)
+            zj = 1.0 - 2.0 * u[D_FUZZ_U]
+            rj = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zj * zj))
+            pj = (2.0 * math.pi) * u[D_FUZZ_V]
+            mx = rfx + fuzz * rj * jnp.cos(pj)
+            my = rfy + fuzz * rj * jnp.sin(pj)
+            mz = rfz + fuzz * zj
+            mx, my, mz = _normalize3(mx, my, mz)
+            metal_ok = _dot3(mx, my, mz, nx, ny, nz) > 0.0
+
+            # dielectric (DielectricMaterial.cpp:11-86)
+            ri = jnp.where(front, 1.0 / ior, ior)
+            cos_t = jnp.minimum(-dvn, 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+            cannot = ri * sin_t > 1.0
+            r0s = (1.0 - ri) / (1.0 + ri)
+            r0s = r0s * r0s
+            schlick = r0s + (1.0 - r0s) * (1.0 - cos_t) ** 5
+            do_refl = cannot | (schlick > u[D_REFL])
+            # refract (vecmath.refract)
+            rpx = ri * (dx + cos_t * nx)
+            rpy = ri * (dy + cos_t * ny)
+            rpz = ri * (dz + cos_t * nz)
+            rp2 = _dot3(rpx, rpy, rpz, rpx, rpy, rpz)
+            rpar = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - rp2), 1e-12))
+            gx_, gy_, gz_ = _normalize3(rpx + rpar * nx, rpy + rpar * ny,
+                                        rpz + rpar * nz)
+            ddx, ddy, ddz = _where3(do_refl, rfx, rfy, rfz,
+                                    gx_, gy_, gz_)
+
+            atx = jnp.where(is_diel, 1.0, tr)
+            aty = jnp.where(is_diel, 1.0, tg)
+            atz = jnp.where(is_diel, 1.0, tb)
+            scatters = ~is_light & ~(is_metal & ~metal_ok)
+            skip_pdf = is_metal | is_diel
+            skx, sky_, skz = _where3(is_metal, mx, my, mz, ddx, ddy, ddz)
+
+            # material pdf sample: cosine hemisphere / uniform sphere
+            (ux, uy, uz), (vx, vy, vz), (wx, wy, wz) = _onb_from_w(
+                *_normalize3(nx, ny, nz))
+            phm = (2.0 * math.pi) * u[D_MAT_U]
+            sq2 = jnp.sqrt(jnp.maximum(u[D_MAT_V], 1e-12))
+            zc = jnp.sqrt(jnp.maximum(1e-12, 1.0 - u[D_MAT_V]))
+            ccx = jnp.cos(phm) * sq2
+            ccy = jnp.sin(phm) * sq2
+            cdx = ccx * ux + ccy * vx + zc * wx
+            cdy = ccx * uy + ccy * vy + zc * wy
+            cdz = ccx * uz + ccy * vz + zc * wz
+            cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+            # uniform sphere (isotropic) reuses the same two uniforms
+            zs = 1.0 - 2.0 * u[D_MAT_U]
+            rs = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zs * zs))
+            ps = (2.0 * math.pi) * u[D_MAT_V]
+            sdx = rs * jnp.cos(ps)
+            sdy = rs * jnp.sin(ps)
+            sdz = zs
+            mdx, mdy, mdz = _where3(is_iso, sdx, sdy, sdz, cdx, cdy, cdz)
+
+            if L > 0:
+                ldx, ldy, ldz = light_sample(th_, px, py, pz, tm,
+                                             u[D_LIGHT_SEL],
+                                             u[D_LIGHT_U], u[D_LIGHT_V],
+                                             lread=lread)
+                pick = u[D_PICK] < 0.5
+                gdx, gdy, gdz = _where3(pick, ldx, ldy, ldz,
+                                        mdx, mdy, mdz)
+                cosv = jnp.maximum(
+                    0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
+                mat_pdf = jnp.where(is_iso, INV_4PI, cosv)
+                pdf_val = 0.5 * light_pdf(th_, px, py, pz, gdx, gdy, gdz,
+                                          tm, lread=lread) + 0.5 * mat_pdf
+            else:
+                gdx, gdy, gdz = mdx, mdy, mdz
+                cosv = jnp.maximum(
+                    0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
+                pdf_val = jnp.where(is_iso, INV_4PI, cosv)
+
+            coss = jnp.maximum(
+                0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
+            spdf = jnp.where(is_iso, INV_4PI, coss)
+            pdf_ok = pdf_val > 1e-8
+            mis = spdf / jnp.where(pdf_ok, pdf_val, 1.0)
+            factor = jnp.where(skip_pdf, 1.0, mis)
+            ndx, ndy, ndz = _where3(skip_pdf, skx, sky_, skz,
+                                    gdx, gdy, gdz)
+
+            n_thx = jnp.where(live_hit, thx * atx * factor, thx)
+            n_thy = jnp.where(live_hit, thy * aty * factor, thy)
+            n_thz = jnp.where(live_hit, thz * atz * factor, thz)
+            n_ox, n_oy, n_oz = _where3(live_hit, px, py, pz, ox, oy, oz)
+            n_dx, n_dy, n_dz = _where3(live_hit, ndx, ndy, ndz,
+                                       dx, dy, dz)
+            return dict(
+                o=(n_ox, n_oy, n_oz), d=(n_dx, n_dy, n_dz),
+                th=(n_thx, n_thy, n_thz), drad=(drx, dry, drz),
+                miss=miss, live_hit=live_hit, emit_on=emit_on,
+                scatters=scatters, skip_pdf=skip_pdf, pdf_ok=pdf_ok,
+                at=(atx, aty, atz), factor=factor, tcol=(tr, tg, tb),
+                eff_tex=eff_tex, is_diel=is_diel)
 
         # --------------------------- camera ray for per-lane sample ids
         def gen_ray(s_abs_f):
@@ -2239,19 +2442,6 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 # physics so geometry tangents flow through marble shading.
                 turb = _turbulence3(px, py, pz, pseed) if has_noise else None
 
-                # 1. miss -> background (Camera.cpp:242-243)
-                if sky_gradient:
-                    a_sky = 0.5 * (dy + 1.0)
-                    sbx = (1.0 - a_sky) + a_sky * 0.5
-                    sby = (1.0 - a_sky) + a_sky * 0.7
-                    sbz = (1.0 - a_sky) + a_sky * 1.0
-                else:
-                    sbx, sby, sbz = bgx + zero, bgy + zero, bgz + zero
-                miss = alive & ~hit
-                drx = jnp.where(miss, thx * sbx, 0.0)
-                dry = jnp.where(miss, thy * sby, 0.0)
-                drz = jnp.where(miss, thz * sbz, 0.0)
-
                 if unroll_prims:
                     # gather material row (masked-select over NM rows)
                     mtype = jnp.zeros_like(mat)
@@ -2286,118 +2476,11 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                     is_diel = mtype_f == float(MAT_DIELECTRIC)
                     is_iso = mtype_f == float(MAT_ISOTROPIC)
 
-                # 2. emitted (front faces only, DiffuseLight.cpp:12-23)
-                live_hit = alive & hit
-                emit_on = live_hit & is_light & front
-                drx = drx + jnp.where(emit_on, thx * tr, 0.0)
-                dry = dry + jnp.where(emit_on, thy * tg, 0.0)
-                drz = drz + jnp.where(emit_on, thz * tb, 0.0)
-
-                # 3-4. scatter (materials.scatter semantics)
-                # metal: mirror + fuzz jitter (MetalMaterial.cpp:10-62)
-                dvn = _dot3(dx, dy, dz, nx, ny, nz)
-                rfx = dx - 2.0 * dvn * nx
-                rfy = dy - 2.0 * dvn * ny
-                rfz = dz - 2.0 * dvn * nz
-                rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
-                # unit_vector_from_uv(u_fuzz1, u_fuzz2)
-                zj = 1.0 - 2.0 * u[D_FUZZ_U]
-                rj = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zj * zj))
-                pj = (2.0 * math.pi) * u[D_FUZZ_V]
-                mx = rfx + fuzz * rj * jnp.cos(pj)
-                my = rfy + fuzz * rj * jnp.sin(pj)
-                mz = rfz + fuzz * zj
-                mx, my, mz = _normalize3(mx, my, mz)
-                metal_ok = _dot3(mx, my, mz, nx, ny, nz) > 0.0
-
-                # dielectric (DielectricMaterial.cpp:11-86)
-                ri = jnp.where(front, 1.0 / ior, ior)
-                cos_t = jnp.minimum(-dvn, 1.0)
-                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
-                cannot = ri * sin_t > 1.0
-                r0s = (1.0 - ri) / (1.0 + ri)
-                r0s = r0s * r0s
-                schlick = r0s + (1.0 - r0s) * (1.0 - cos_t) ** 5
-                do_refl = cannot | (schlick > u[D_REFL])
-                # refract (vecmath.refract)
-                rpx = ri * (dx + cos_t * nx)
-                rpy = ri * (dy + cos_t * ny)
-                rpz = ri * (dz + cos_t * nz)
-                rp2 = _dot3(rpx, rpy, rpz, rpx, rpy, rpz)
-                rpar = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - rp2), 1e-12))
-                gx_, gy_, gz_ = _normalize3(rpx + rpar * nx, rpy + rpar * ny,
-                                            rpz + rpar * nz)
-                ddx, ddy, ddz = _where3(do_refl, rfx, rfy, rfz,
-                                        gx_, gy_, gz_)
-
-                atx = jnp.where(is_diel, 1.0, tr)
-                aty = jnp.where(is_diel, 1.0, tg)
-                atz = jnp.where(is_diel, 1.0, tb)
-                scatters = ~is_light & ~(is_metal & ~metal_ok)
-                skip_pdf = is_metal | is_diel
-                skx, sky_, skz = _where3(is_metal, mx, my, mz, ddx, ddy, ddz)
-
-                # material pdf sample: cosine hemisphere / uniform sphere
-                (ux, uy, uz), (vx, vy, vz), (wx, wy, wz) = _onb_from_w(
-                    *_normalize3(nx, ny, nz))
-                phm = (2.0 * math.pi) * u[D_MAT_U]
-                sq2 = jnp.sqrt(jnp.maximum(u[D_MAT_V], 1e-12))
-                zc = jnp.sqrt(jnp.maximum(1e-12, 1.0 - u[D_MAT_V]))
-                ccx = jnp.cos(phm) * sq2
-                ccy = jnp.sin(phm) * sq2
-                cdx = ccx * ux + ccy * vx + zc * wx
-                cdy = ccx * uy + ccy * vy + zc * wy
-                cdz = ccx * uz + ccy * vz + zc * wz
-                cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
-                # uniform sphere (isotropic) reuses the same two uniforms
-                zs = 1.0 - 2.0 * u[D_MAT_U]
-                rs = jnp.sqrt(jnp.maximum(1e-12, 1.0 - zs * zs))
-                ps = (2.0 * math.pi) * u[D_MAT_V]
-                sdx = rs * jnp.cos(ps)
-                sdy = rs * jnp.sin(ps)
-                sdz = zs
-                mdx, mdy, mdz = _where3(is_iso, sdx, sdy, sdz, cdx, cdy, cdz)
-
-                if L > 0:
-                    ldx, ldy, ldz = light_sample(th_, px, py, pz, tm,
-                                                 u[D_LIGHT_SEL],
-                                                 u[D_LIGHT_U], u[D_LIGHT_V])
-                    pick = u[D_PICK] < 0.5
-                    gdx, gdy, gdz = _where3(pick, ldx, ldy, ldz,
-                                            mdx, mdy, mdz)
-                    cosv = jnp.maximum(
-                        0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
-                    mat_pdf = jnp.where(is_iso, INV_4PI, cosv)
-                    pdf_val = 0.5 * light_pdf(th_, px, py, pz, gdx, gdy, gdz,
-                                              tm) + 0.5 * mat_pdf
-                else:
-                    gdx, gdy, gdz = mdx, mdy, mdz
-                    cosv = jnp.maximum(
-                        0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
-                    pdf_val = jnp.where(is_iso, INV_4PI, cosv)
-
-                coss = jnp.maximum(
-                    0.0, _dot3(gdx, gdy, gdz, wx, wy, wz)) / math.pi
-                spdf = jnp.where(is_iso, INV_4PI, coss)
-                pdf_ok = pdf_val > 1e-8
-                mis = spdf / jnp.where(pdf_ok, pdf_val, 1.0)
-                factor = jnp.where(skip_pdf, 1.0, mis)
-                ndx, ndy, ndz = _where3(skip_pdf, skx, sky_, skz,
-                                        gdx, gdy, gdz)
-
-                n_thx = jnp.where(live_hit, thx * atx * factor, thx)
-                n_thy = jnp.where(live_hit, thy * aty * factor, thy)
-                n_thz = jnp.where(live_hit, thz * atz * factor, thz)
-                n_ox, n_oy, n_oz = _where3(live_hit, px, py, pz, ox, oy, oz)
-                n_dx, n_dy, n_dz = _where3(live_hit, ndx, ndy, ndz,
-                                           dx, dy, dz)
-                return dict(
-                    o=(n_ox, n_oy, n_oz), d=(n_dx, n_dy, n_dz),
-                    th=(n_thx, n_thy, n_thz), drad=(drx, dry, drz),
-                    miss=miss, live_hit=live_hit, emit_on=emit_on,
-                    scatters=scatters, skip_pdf=skip_pdf, pdf_ok=pdf_ok,
-                    at=(atx, aty, atz), factor=factor, tcol=(tr, tg, tb),
-                    eff_tex=eff_tex, is_diel=is_diel)
+                return shade_core(
+                    th_, alive, hit, px, py, pz, nx, ny, nz, front,
+                    fuzz, ior, tr, tg, tb, eff_tex,
+                    is_light, is_metal, is_diel, is_iso, u, tm,
+                    ox, oy, oz, dx, dy, dz, thx, thy, thz)
 
             if K:
                 # linearize once, push one 9-plane tangent bundle per hard
@@ -2544,6 +2627,368 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 out = out + (st[-1] + 1,)
             return out
 
+        # ============ adjoint (reverse-mode) backward: per-sample two-phase
+        # loop (round-5; ROADMAP "adjoint pass"). Phase F traces the sample
+        # forward storing 10 state planes per bounce in VMEM scratch; phase
+        # R walks the bounces BACKWARD, re-deriving each bounce's discrete
+        # context (winner selection is detached by detached-sampling
+        # semantics, so it runs outside the VJP) and applying jax.vjp of
+        # the dense record+shade math with the winner's GATHERED per-lane
+        # values as differentiable inputs. The state cotangent lambda
+        # (d<g,L>/d(o,d,th)) chains across bounces in registers; parameter
+        # cotangents one-hot-scatter into chunked accumulator rows. Cost is
+        # O(1) per parameter — this is what lets 2,000-slot geometry
+        # training run fused instead of the ~600x pure-JAX replay, and it
+        # has no zero-albedo caveat (no division by `at`). Reference
+        # analogue: the device integrator is the only hot path for
+        # everything (CameraKernels.cu:106-202).
+        if grad_adjoint:
+            cg_r, cg_g, cg_b = g_ref[0], g_ref[1], g_ref[2]
+            lth_vals = tuple(lightf_ref[c, l]
+                             for (l, c, _si) in adj_light_slots)
+            lz = i_f[0:1, :] * 0.0
+            n_acc = 3 * Tc_a + 4 * Sc_a + 2 * Mc_a
+
+            def make_lread(lth):
+                def lread(th_, col, l):
+                    k = adj_light_map.get((l, col))
+                    return lth[k] + zero if k is not None \
+                        else lightf_ref[col, l]
+                return lread
+
+            def adj_ctx(ox, oy, oz, dx, dy, dz, tm, alive, u_med):
+                """Discrete per-bounce context, computed OUTSIDE the VJP on
+                the stored (non-differentiated) state: winner ids, the full
+                record via vscan_record (authoritative winner resolution,
+                incl. quad merge + materials), medium override, and the
+                assembled per-lane leaf values that become diff inputs."""
+                hit_s, pid, qhit, qpid = vscan_select(
+                    ox, oy, oz, dx, dy, dz, tm, alive)
+                (cxw, cyw, czw, cdxw, cdyw, cdzw, _r2, radw,
+                 origw) = gather_fields(ptab_ref, C_vg, 9, pid)
+                (hit, best_t, px, py, pz, _nx, _ny, _nz, _front,
+                 mats) = vscan_record((), hit_s, pid, qhit, qpid,
+                                      ox, oy, oz, dx, dy, dz, tm)
+                if vquad_mode:
+                    qn = gather_fields(qptab_ref, C_qg, 4, qpid)
+                else:
+                    qn = None
+                if M:
+                    t_surf = jnp.where(hit, best_t, BIG)
+                    t_med, med_row = medium_free_flight(
+                        ox, oy, oz, dx, dy, dz, tm, t_surf, u_med)
+                    med_on = t_med < BIG * 0.5
+                    med_base = 0 if vquad_mode else Q
+                    for m in range(M):
+                        sel = med_on & (med_row == float(m))
+                        mats = tuple(
+                            jnp.where(sel, primmat_ref[c, med_base + m],
+                                      mats[c])
+                            for c in range(PMCOLS))
+                # leaf texture fields + effective row for cotangent routing
+                # (parity/descent on the SAME numeric hit point the diff
+                # side re-derives, so the frozen selection is exact)
+                if deep_tex:
+                    (clr, clg, clb, effrow, scale0,
+                     noi_f) = tex_eval_dag(mats[15], px, py, pz, None,
+                                           full=True)
+                    noi = noi_f > 0.5
+                    eff = jnp.where(noi, -1.0, effrow)
+                else:
+                    scale0 = mats[4]
+                    chk = mats[3] > 0.5
+                    inv = 1.0 / jnp.maximum(scale0, 1e-12)
+                    fx = jnp.floor(inv * px).astype(jnp.int32)
+                    fy = jnp.floor(inv * py).astype(jnp.int32)
+                    fz = jnp.floor(inv * pz).astype(jnp.int32)
+                    even = ((fx + fy + fz) & 1) == 0
+                    clr = jnp.where(chk, jnp.where(even, mats[8], mats[11]),
+                                    mats[5])
+                    clg = jnp.where(chk, jnp.where(even, mats[9], mats[12]),
+                                    mats[6])
+                    clb = jnp.where(chk, jnp.where(even, mats[10],
+                                                   mats[13]), mats[7])
+                    noi = mats[14] > 0.5
+                    eff = jnp.where(
+                        noi, -1.0,
+                        jnp.where(chk, jnp.where(even, mats[16], mats[17]),
+                                  mats[15]))
+                return dict(hit_s=hit_s, qhit=qhit,
+                            cd=(cdxw, cdyw, cdzw), origw=origw, qn=qn,
+                            sph=(cxw, cyw, czw, radw), fuzz0=mats[1],
+                            ior0=mats[2], leaf=(clr, clg, clb), eff=eff,
+                            noi=noi, scale0=scale0, mtype=mats[0],
+                            matid=mats[18])
+
+            def adj_record(cxw, cyw, czw, radw, ctx, ox_, oy_, oz_,
+                           dx_, dy_, dz_, tm0):
+                """vscan_record's record math with the winner's sphere
+                geometry as DIFF inputs (quad geometry is untrainable and
+                stays in SMEM/const planes; its t still differentiates
+                through the ray state)."""
+                hit0 = ctx["hit_s"]
+                cdxw, cdyw, cdzw = ctx["cd"]
+                a_ = _dot3(dx_, dy_, dz_, dx_, dy_, dz_)
+                inv_a_ = 1.0 / a_
+                if vscan_motion:
+                    scx = cxw + tm0 * cdxw
+                    scy = cyw + tm0 * cdyw
+                    scz = czw + tm0 * cdzw
+                else:
+                    scx, scy, scz = cxw, cyw, czw
+                ocx, ocy, ocz = scx - ox_, scy - oy_, scz - oz_
+                h = _dot3(dx_, dy_, dz_, ocx, ocy, ocz)
+                cc = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - radw * radw
+                sq = _sqrt0(h * h - a_ * cc)
+                r0 = (h - sq) * inv_a_
+                r1 = (h + sq) * inv_a_
+                tw = jnp.where(r0 > T_MIN, r0, r1)
+                best_t = jnp.where(hit0, tw, zero + BIG)
+                t_safe = jnp.where(hit0, tw, 1.0)
+                inv_r = 1.0 / jnp.maximum(radw, 1e-12)
+                nx = jnp.where(hit0, (ox_ + t_safe * dx_ - scx) * inv_r,
+                               0.0)
+                ny = jnp.where(hit0, (oy_ + t_safe * dy_ - scy) * inv_r,
+                               0.0)
+                nz = jnp.where(hit0, (oz_ + t_safe * dz_ - scz) * inv_r,
+                               0.0)
+                hit = hit0
+                if Q and not vquad_mode:
+                    # unrolled (vjp has no fori partial-eval); quad fields
+                    # are SMEM constants, takes re-derive identically
+                    for q in range(Q):
+                        qnx, qny, qnz = quadf_ref[9, q], quadf_ref[10, q], \
+                            quadf_ref[11, q]
+                        denom = _dot3(dx_, dy_, dz_, qnx, qny, qnz)
+                        par = jnp.abs(denom) < 1e-8
+                        t_q = (quadf_ref[12, q]
+                               - _dot3(ox_, oy_, oz_, qnx, qny, qnz)) \
+                            / jnp.where(par, 1.0, denom)
+                        hx = ox_ + t_q * dx_ - quadf_ref[0, q]
+                        hy = oy_ + t_q * dy_ - quadf_ref[1, q]
+                        hz = oz_ + t_q * dz_ - quadf_ref[2, q]
+                        c1 = _cross3(hx, hy, hz, quadf_ref[6, q],
+                                     quadf_ref[7, q], quadf_ref[8, q])
+                        alpha = _dot3(quadf_ref[13, q], quadf_ref[14, q],
+                                      quadf_ref[15, q], *c1)
+                        c2 = _cross3(quadf_ref[3, q], quadf_ref[4, q],
+                                     quadf_ref[5, q], hx, hy, hz)
+                        beta = _dot3(quadf_ref[13, q], quadf_ref[14, q],
+                                     quadf_ref[15, q], *c2)
+                        take = (~par & (alpha >= 0.0) & (alpha <= 1.0)
+                                & (beta >= 0.0) & (beta <= 1.0)
+                                & (t_q > T_MIN) & (t_q < best_t)
+                                & (quadf_ref[17, q] > 0.5))
+                        best_t = jnp.where(take, t_q, best_t)
+                        nx = jnp.where(take, qnx + zero, nx)
+                        ny = jnp.where(take, qny + zero, ny)
+                        nz = jnp.where(take, qnz + zero, nz)
+                    hit = best_t < BIG * 0.5
+                    t_safe = jnp.where(hit, best_t, 1.0)
+                if vquad_mode:
+                    qnx, qny, qnz, qd = ctx["qn"]
+                    denom = _dot3(dx_, dy_, dz_, qnx, qny, qnz)
+                    t_q = (qd - _dot3(ox_, oy_, oz_, qnx, qny, qnz)) \
+                        / jnp.where(jnp.abs(denom) < 1e-8, 1.0, denom)
+                    better = ctx["qhit"] & (t_q < best_t)
+                    best_t = jnp.where(better, t_q, best_t)
+                    nx = jnp.where(better, qnx + zero, nx)
+                    ny = jnp.where(better, qny + zero, ny)
+                    nz = jnp.where(better, qnz + zero, nz)
+                    hit = hit | better
+                    t_safe = jnp.where(hit, best_t, 1.0)
+                px = ox_ + t_safe * dx_
+                py = oy_ + t_safe * dy_
+                pz = oz_ + t_safe * dz_
+                front = _dot3(dx_, dy_, dz_, nx, ny, nz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                return (hit, best_t, px, py, pz, nx * sgn, ny * sgn,
+                        nz * sgn, front)
+
+            def adj_step(ctx, u, u_med, tm, alive, dins, st9, want_aux):
+                """One bounce as a pure function of (diff inputs, state):
+                the function phase R differentiates with jax.vjp, and phase
+                F evaluates directly (identical numerics both phases)."""
+                (cxw, cyw, czw, radw, fuzz0, ior0r, lr, lg, lb,
+                 *lth) = dins
+                ox, oy, oz, dx, dy, dz, thx, thy, thz = st9
+                (hit, best_t, px, py, pz, nx, ny, nz,
+                 front) = adj_record(cxw, cyw, czw, radw, ctx,
+                                     ox, oy, oz, dx, dy, dz, tm)
+                if M:
+                    t_surf = jnp.where(hit, best_t, BIG)
+                    t_med, med_row = medium_free_flight(
+                        ox, oy, oz, dx, dy, dz, tm, t_surf, u_med)
+                    med_on = t_med < BIG * 0.5
+                    hit = hit | med_on
+                    px = jnp.where(med_on, ox + t_med * dx, px)
+                    py = jnp.where(med_on, oy + t_med * dy, py)
+                    pz = jnp.where(med_on, oz + t_med * dz, pz)
+                    nx = jnp.where(med_on, 1.0, nx)
+                    ny = jnp.where(med_on, 0.0, ny)
+                    nz = jnp.where(med_on, 0.0, nz)
+                    front = med_on | front
+                turb = (_turbulence3(px, py, pz, pseed) if has_noise
+                        else None)
+                if turb is not None:
+                    marble = 0.5 * (1.0 + jnp.sin(ctx["scale0"] * pz
+                                                  + 10.0 * turb))
+                    tr = jnp.where(ctx["noi"], marble, lr)
+                    tg = jnp.where(ctx["noi"], marble, lg)
+                    tb = jnp.where(ctx["noi"], marble, lb)
+                else:
+                    tr, tg, tb = lr, lg, lb
+                ior = jnp.where(ior0r == 0.0, 1.0, ior0r)
+                mtype_f = ctx["mtype"]
+                is_light = mtype_f == float(MAT_DIFFUSE_LIGHT)
+                is_metal = mtype_f == float(MAT_METAL)
+                is_diel = mtype_f == float(MAT_DIELECTRIC)
+                is_iso = mtype_f == float(MAT_ISOTROPIC)
+                P_ = shade_core(
+                    (), alive, hit, px, py, pz, nx, ny, nz, front,
+                    fuzz0, ior, tr, tg, tb, ctx["eff"],
+                    is_light, is_metal, is_diel, is_iso, u, tm,
+                    ox, oy, oz, dx, dy, dz, thx, thy, thz,
+                    lread=make_lread(lth))
+                out9 = P_["o"] + P_["d"] + P_["th"]
+                if want_aux:
+                    return out9, P_["drad"], (
+                        P_["live_hit"], P_["scatters"], P_["skip_pdf"],
+                        P_["pdf_ok"])
+                return out9, P_["drad"]
+
+            def scatter_rows(accs, base, n_chunks, idx_f, vals):
+                """accs[base + f*n_chunks + c] += one-hot chunk reduction
+                of per-lane cotangents `vals` routed by row ids `idx_f`
+                (-1 / out-of-range ids never match an iota -> dropped).
+                Same (R,128,128) broadcast-reduce the suffix estimator
+                uses (Mosaic-proven; a (R*128, nf) matmul layout fails to
+                lower — nf-wide lane dims reshape badly)."""
+                idx = idx_f.astype(jnp.int32)
+                iota = jax.lax.broadcasted_iota(jnp.int32, (R, 128, 128), 2)
+                accs = list(accs)
+                for c in range(n_chunks):
+                    oh = (idx[:, :, None] == iota + c * 128).astype(
+                        jnp.float32)
+                    for f, v in enumerate(vals):
+                        red = jnp.sum(oh * v[:, :, None], axis=(0, 1))
+                        k = base + f * n_chunks + c
+                        accs[k] = accs[k] + red.reshape(1, 128)
+                return tuple(accs)
+
+            def sample_body(s, carry):
+                rx0, ry0, rz0 = carry[:3]
+                accs = carry[3:]
+                s_abs_f = sample_start_f + (zero + s.astype(jnp.float32))
+                k1 = _f2u(s_abs_f)
+                gox, goy, goz, gdx0, gdy0, gdz0, gtm = gen_ray(s_abs_f)
+
+                def bounce_ctx(b, ox, oy, oz, dx, dy, dz, alive):
+                    b_f = zero + b.astype(jnp.float32)
+                    u = _draws(k0, k1, k2,
+                               jnp.uint32(0x4000000) + _f2u(b_f), N_DRAWS)
+                    u_med = (_draws(k0, k1, k2,
+                                    jnp.uint32(1_000_000) + _f2u(b_f), M)
+                             if M else ())
+                    ctx = adj_ctx(ox, oy, oz, dx, dy, dz, gtm, alive,
+                                  u_med)
+                    dins = (ctx["sph"][0], ctx["sph"][1], ctx["sph"][2],
+                            ctx["sph"][3], ctx["fuzz0"], ctx["ior0"],
+                            ctx["leaf"][0], ctx["leaf"][1], ctx["leaf"][2],
+                            *lth_vals)
+                    return ctx, u, u_med, dins
+
+                # ---- phase F: forward trace, storing each bounce's input
+                # state (o, d, th, alive = 10 planes) at 8-aligned offsets
+                def f_body(st):
+                    (ox, oy, oz, dx, dy, dz, thx, thy, thz, alive_f,
+                     rx, ry, rz, b) = st
+                    base = b * (10 * R)
+                    for f, pln in enumerate((ox, oy, oz, dx, dy, dz,
+                                             thx, thy, thz, alive_f)):
+                        store_ref[pl.ds(base + f * R, R), :] = pln
+                    alive = alive_f > 0.5
+                    ctx, u, u_med, dins = bounce_ctx(
+                        b, ox, oy, oz, dx, dy, dz, alive)
+                    st9 = (ox, oy, oz, dx, dy, dz, thx, thy, thz)
+                    out9, dr3, aux = adj_step(ctx, u, u_med, gtm, alive,
+                                              dins, st9, True)
+                    live_hit, scatters, skip_pdf, pdf_ok = aux
+                    alive_new = (live_hit & scatters & (skip_pdf | pdf_ok)
+                                 & (b + 1 < max_depth))
+                    return out9 + (
+                        jnp.where(alive_new, zero + 1.0, zero),
+                        rx + dr3[0], ry + dr3[1], rz + dr3[2], b + 1)
+
+                def f_cond(st):
+                    return (jnp.sum(st[9]) > 0.0) & (st[13] < max_depth)
+
+                stF = jax.lax.while_loop(f_cond, f_body, (
+                    gox, goy, goz, gdx0, gdy0, gdz0,
+                    zero + 1.0, zero + 1.0, zero + 1.0, zero + 1.0,
+                    rx0, ry0, rz0, jnp.int32(0)))
+                rx, ry, rz = stF[10], stF[11], stF[12]
+                n_used = stF[13]
+
+                # ---- phase R: reverse sweep, chaining lambda and
+                # scattering parameter cotangents
+                def r_body(i, carry):
+                    lam = carry[:9]
+                    accs = carry[9:]
+                    b = n_used - 1 - i
+                    base = b * (10 * R)
+                    pls = [store_ref[pl.ds(base + f * R, R), :]
+                           for f in range(10)]
+                    (ox, oy, oz, dx, dy, dz, thx, thy, thz,
+                     alive_f) = pls
+                    alive = alive_f > 0.5
+                    ctx, u, u_med, dins = bounce_ctx(
+                        b, ox, oy, oz, dx, dy, dz, alive)
+                    st9 = (ox, oy, oz, dx, dy, dz, thx, thy, thz)
+
+                    def fn(dins_, st9_):
+                        return adj_step(ctx, u, u_med, gtm, alive,
+                                        dins_, st9_, False)
+
+                    _, vjp = jax.vjp(fn, dins, st9)
+                    d_dins, d_st9 = vjp((tuple(lam),
+                                         (cg_r, cg_g, cg_b)))
+                    (d_cx, d_cy, d_cz, d_rad, d_fz, d_io, d_lr, d_lg,
+                     d_lb, *d_lth) = d_dins
+                    accs = scatter_rows(accs, 0, Tc_a, ctx["eff"],
+                                        [d_lr, d_lg, d_lb])
+                    accs = scatter_rows(accs, 3 * Tc_a, Sc_a,
+                                        ctx["origw"],
+                                        [d_cx, d_cy, d_cz, d_rad])
+                    accs = scatter_rows(accs, 3 * Tc_a + 4 * Sc_a, Mc_a,
+                                        ctx["matid"], [d_fz, d_io])
+                    if adj_light_slots:
+                        accs = list(accs)
+                        lane_iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 128), 1)
+                        for k, (l, col, si) in enumerate(adj_light_slots):
+                            f = {1: 0, 2: 1, 3: 2, 7: 3}[col]
+                            row = 3 * Tc_a + f * Sc_a + si // 128
+                            oh = (lane_iota == (si % 128)).astype(
+                                jnp.float32)
+                            accs[row] = accs[row] + oh * d_lth[k]
+                        accs = tuple(accs)
+                    return d_st9 + tuple(accs)
+
+                carry2 = jax.lax.fori_loop(
+                    0, n_used, r_body,
+                    tuple(zero for _ in range(9)) + tuple(accs))
+                return (rx, ry, rz) + tuple(carry2[9:])
+
+            outA = jax.lax.fori_loop(
+                0, n_samples, sample_body,
+                (zero, zero, zero) + tuple(lz for _ in range(n_acc)))
+            out_ref[0] = outA[0]
+            out_ref[1] = outA[1]
+            out_ref[2] = outA[2]
+            dg_ref[0] = jnp.stack([outA[3 + k][0] for k in range(n_acc)])
+            return
+
         # persistent-wavefront loop: run until every lane is dead AND has
         # exhausted its samples (capped mode: or until `cap` bounce
         # iterations, leaving the carry state for a compacted resume pass)
@@ -2633,7 +3078,8 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, **kw):
     jax.jit,
     static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
                      "sky_gradient", "rows_per_tile", "interpret",
-                     "hard_slots", "light_src", "want_tex", "cap", "_env"))
+                     "hard_slots", "light_src", "want_tex", "cap", "_env",
+                     "adjoint"))
 def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                         width: int, height: int, n_strata: int,
                         max_depth: int, n_samples: int,
@@ -2642,7 +3088,8 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                         interpret: bool = False, row0=0, cotangent=None,
                         hard_slots: tuple = (), light_src: tuple = (),
                         want_tex: bool = True, cap: int = 0, carry=None,
-                        pix_lanes=None, _env: tuple = None):
+                        pix_lanes=None, _env: tuple = None,
+                        adjoint: bool = False):
     """Sum of n_samples stratified samples, (height, width, 3) — fused kernel.
 
     Drop-in replacement for models.render._render_pass (same RNG streams,
@@ -2689,6 +3136,14 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         medf = medf[:1]                # unread; keep SMEM slim
         primmatf = primmatf[:S + Q]    # drop medium rows
     unroll, lane_mode, bvh_mode, vscan_mode = _kernel_modes(flat, _env)
+    NM_full = int(mati.shape[0])
+    if adjoint:
+        # the adjoint backward always takes the vscan/vquad path (one code
+        # shape for ANY scene size; winner selection is detached, so even
+        # Cornell-class unrolled scenes run it for gradients)
+        assert cotangent is not None and not cap and carry is None
+        unroll = lane_mode = bvh_mode = False
+        vscan_mode = True
     if rows_per_tile is None:
         # measured sweet spots (BASELINE.md): 32 rows for unrolled Cornell-
         # class scenes; 16 for vscan/stack-BVH scenes, where smaller tiles
@@ -2803,7 +3258,7 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
             flat.tex_child_even.astype(f32_),
             flat.tex_child_odd.astype(f32_)]))
 
-    grad_tex = cotangent is not None
+    grad_tex = cotangent is not None and not adjoint
     NT_k = int(texf.shape[0])
     NT_g = int(flat.tex_color.shape[0])    # weight planes span the FULL
     K = len(hard_slots)                    # texture table (scan slims texf)
@@ -2836,7 +3291,8 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         want_tex=want_tex, cap=cap, resume=carry is not None, NT_g=NT_g,
         lane_gather=_env[1], deep_tex=deep_tex, C_t=C_t,
         checker_depth=int(flat.checker_depth),
-        vquad_mode=vquad_mode, C_q=C_q, C_qg=C_qg)
+        vquad_mode=vquad_mode, C_q=C_q, C_qg=C_qg,
+        grad_adjoint=adjoint, NM_g=NM_full)
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -2857,7 +3313,10 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((14, n_tiles * R, lane),
                                           jnp.float32)]
-    if grad_tex:
+    Tc_a = -(-NT_g // 128)
+    Sc_a = -(-max(S, 1) // 128)
+    Mc_a = -(-max(NM_full, 1) // 128)
+    if grad_tex or adjoint:
         # cotangent planes in the lane layout of the output; pad lanes get
         # zero so the duplicated trailing pixel cannot double-count
         g = jnp.moveaxis(cotangent.reshape(n_pix, 3), -1, 0)
@@ -2866,7 +3325,10 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         inputs.append(g.reshape(3, n_tiles * R, lane))
         in_specs.append(pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
-        n_rows = (3 * NTc + K) if grad_suffix else n_wp + K
+        if adjoint:
+            n_rows = 3 * Tc_a + 4 * Sc_a + 2 * Mc_a
+        else:
+            n_rows = (3 * NTc + K) if grad_suffix else n_wp + K
         out_specs = [out_specs,
                      pl.BlockSpec((1, n_rows, lane), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)]
@@ -2894,17 +3356,35 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     # kernel's limit (v5e has 128 MiB/core; 64 MiB leaves the double-buffered
     # tile pipeline plenty)
     params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-              if lane_mode else None)
+              if (lane_mode or adjoint) else None)
+    scratch = [pltpu.SMEM((BVH_STACK,), jnp.int32)]
+    if adjoint:
+        # phase-F per-bounce state store: 10 planes x max_depth slots,
+        # 8-aligned dynamic slices (R is a multiple of 8)
+        scratch.append(pltpu.VMEM((max_depth * 10 * R, lane), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((BVH_STACK,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=params,
     )(*inputs)
+
+    if adjoint:
+        out, dg = out
+        summed = dg.sum(axis=0)                    # (n_rows, 128)
+        tex = summed[:3 * Tc_a].reshape(3, Tc_a * 128)[:, :NT_g].T
+        sp = summed[3 * Tc_a:3 * Tc_a + 4 * Sc_a].reshape(
+            4, Sc_a * 128)[:, :S]
+        mm = summed[3 * Tc_a + 4 * Sc_a:].reshape(2, Mc_a * 128)[:, :NM_full]
+        grads = dict(tex_color=tex, sph_center=sp[:3].T, sph_radius=sp[3],
+                     mat_fuzz=mm[0], mat_ior=mm[1])
+        img = out.reshape(3, n_tiles * rays_per_tile)[:, :n_pix]
+        img = jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
+        return img, grads
 
     if grad_tex:
         out, dg = out
