@@ -32,6 +32,16 @@ from .mesh import render_sharded, _tile_sample_render
 TRAINABLE_FIELDS = ("tex_color", "mat_fuzz", "mat_ior", "sph_center",
                     "sph_radius")
 
+# prefer the in-kernel ADJOINT backward whenever >= this many hard slots
+# are requested (below it, the per-slot tangent bundles win: they ride the
+# regenerating wavefront while the adjoint's per-sample two-phase loop
+# pays max-path-length x 2 iterations per sample). Measured round 5 on
+# v5e, Cornell 600^2 spp64 d50 full-family: tangent 26.1 Mpaths/s at 9
+# slots vs adjoint 1.8; bouncing_spheres 2,013 slots: adjoint 1.28 vs
+# ~0.04 replay (tangent gated). 33 = just past MAX_HARD_SLOTS_VSCAN, so
+# the adjoint takes exactly the region the bundle tiers cannot reach.
+ADJOINT_MIN_SLOTS = 33
+
 
 def get_params(flat: FlatScene) -> dict:
     return {k: getattr(flat, k) for k in TRAINABLE_FIELDS}
@@ -71,6 +81,7 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
                                         pallas_grad_gate_reason,
                                         pallas_scan_grad_gate_reason,
                                         pallas_hard_slots_gate_reason,
+                                        pallas_adjoint_gate_reason,
                                         hard_param_slots,
                                         light_sphere_sources,
                                         HARD_SLOT_FIELDS)
@@ -79,6 +90,7 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
         interpret = jax.default_backend() == "cpu"
     grad_reason = pallas_grad_gate_reason(baked)
     scan_tex_reason = pallas_scan_grad_gate_reason(baked)
+    adjoint_reason = pallas_adjoint_gate_reason(baked)
     light_src = light_sphere_sources(baked)
     if (scan_tex_reason is None
             and baked.tex_color.shape[0] > MAX_GRAD_TEXS):
@@ -164,10 +176,26 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
                     and grad_reason is not None
                     and scan_tex_reason is None
                     and hard_reason is not None)
+        # the adjoint (reverse-mode) backward covers EVERY family at O(1)
+        # per parameter with no slot cap (round-5 VERDICT item 1); prefer
+        # it whenever hard families are requested at scale, or whenever
+        # the forward-mode tiers would gate to the replay
+        use_adjoint = (known and adjoint_reason is None and slots
+                       and (not fused_ok
+                            or len(slots) >= ADJOINT_MIN_SLOTS))
         if fused_ok and not (want_tex or slots):
             # nothing requested actually exists in this scene (e.g. fuzz
             # with no metals): the gradient is identically zero
             dp = {f: jnp.zeros_like(params[f]) for f in requested}
+        elif use_adjoint:
+            _, grads = render_pass_pallas(
+                set_params(baked, params), cam, seed_f,
+                s0_f.astype(jnp.int32), width=width, height=h_local,
+                n_strata=n_strata, max_depth=max_depth, n_samples=spp_local,
+                sky_gradient=sky_gradient, interpret=interpret,
+                row0=row0_f.astype(jnp.int32), cotangent=g,
+                adjoint=True, light_src=light_src)
+            dp = {f: grads[f] for f in requested}
         elif fused_ok:
             # rows_per_tile=16 for the grad pass: the tangent-bundle /
             # weight-plane carry grows the per-lane state several-fold, and
