@@ -885,8 +885,9 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         # jax.linearize cannot differentiate, so K > 0 gates there
         assert unroll_prims or vscan_mode or (want_tex and K == 0), \
             "stack/lane-BVH grad kernel: tex_color only"
-        assert not cap and not resume, \
-            "capped/compacted scheduling is forward-only"
+        # capped/compacted scheduling works for the grad pass too (round
+        # 5, VERDICT item 6): the Wp/Dst/suffix path state rides the spill
+        # carry; Gp/dG/acc are accumulators summed across phases
     # O(1)-in-NT suffix-radiance backward for big texture tables (round-4,
     # VERDICT item 2): weight planes cost 6 VMEM planes PER texture row, so
     # beyond MAX_GRAD_TEXS the kernel switches to a two-phase in-lane
@@ -963,11 +964,17 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
              ptab_ref, pmtab_ref, vtex_ref, vqtab_ref, qptab_ref,
              qpmtab_ref, out_ref, dg_ref, stack_ref, store_ref) = rest
         elif grad_tex:
+            if resume:
+                stin_ref, rest = rest[0], rest[1:]
             (g_ref, iscal_ref, fscal_ref, sphf_ref, quadf_ref, pmat_ref,
              lightf_ref, mati_ref, matf_ref, texf_ref, primmat_ref, csph_ref,
              medf_ref, nodef_ref, nodei_ref, bprims_ref, ntab_ref,
              ptab_ref, pmtab_ref, vtex_ref, vqtab_ref, qptab_ref,
-             qpmtab_ref, out_ref, dg_ref, stack_ref) = rest
+             qpmtab_ref) = rest[:23]
+            if cap:
+                out_ref, dg_ref, stout_ref, stack_ref = rest[23:]
+            else:
+                out_ref, dg_ref, stack_ref = rest[23:]
         else:
             if resume:
                 stin_ref, rest = rest[0], rest[1:]
@@ -3014,12 +3021,28 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                      gtm,                                   # ray time
                      zero + 1.0)                            # work-left mask
         if grad_tex:
-            state = state + tuple(zero for _ in range(2 * n_wp + 10 * K))
+            # Wp and Dst are PATH state (they ride the compaction carry at
+            # rows 14..); Gp/dG/acc are per-pass accumulators reset to 0
+            if resume:
+                state = state + tuple(
+                    stin_ref[14 + k] for k in range(n_wp))            # Wp
+                state = state + tuple(zero for _ in range(n_wp))      # Gp
+                state = state + tuple(
+                    stin_ref[14 + n_wp + k] for k in range(9 * K))   # Dst
+                state = state + tuple(zero for _ in range(K))         # dG
+            else:
+                state = state + tuple(
+                    zero for _ in range(2 * n_wp + 10 * K))
             if grad_suffix:
                 # phB, T (3), P (3) lane planes + 3*NTc shared (1, 128)
                 # accumulator rows (data-derived zeros: see `zero` above)
                 lz = i_f[0:1, :] * 0.0
-                state = state + tuple(zero for _ in range(7))
+                if resume:
+                    sb0 = 14 + n_wp + 9 * K
+                    state = state + tuple(
+                        stin_ref[sb0 + k] for k in range(7))
+                else:
+                    state = state + tuple(zero for _ in range(7))
                 state = state + tuple(lz for _ in range(3 * NTc))
         if cap:
             state = state + (jnp.int32(0),)
@@ -3034,7 +3057,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
         out_ref[2] = out[11]
         if cap:
             # carry state for the compacted resume pass (wrapper layout:
-            # work, alive, bounce, sample, time, o, d, th — 14 planes)
+            # work, alive, bounce, sample, time, o, d, th — 14 planes;
+            # grad passes append Wp, Dst [, phB/T/P] path state)
             stout_ref[0] = out[16]
             stout_ref[1] = out[12]
             stout_ref[2] = out[13]
@@ -3044,6 +3068,15 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                 stout_ref[5 + c] = out[0 + c]
                 stout_ref[8 + c] = out[3 + c]
                 stout_ref[11 + c] = out[6 + c]
+            if grad_tex:
+                for k in range(n_wp):
+                    stout_ref[14 + k] = out[17 + k]
+                for k in range(9 * K):
+                    stout_ref[14 + n_wp + k] = out[17 + 2 * n_wp + k]
+                if grad_suffix:
+                    sb = 17 + 2 * n_wp + 10 * K
+                    for k in range(7):
+                        stout_ref[14 + n_wp + 9 * K + k] = out[sb + k]
         if grad_tex:
             # per-tile partial gradient rows (tex cotangents then hard
             # cotangents): reduce the lane planes over sublanes here, leave
@@ -3297,31 +3330,34 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    # compaction carry width: 14 standard planes + the grad pass's Wp/Dst
+    # (+ suffix phB/T/P) path state (Gp/dG/acc accumulators sum per-pass)
+    n_carry = 14 + ((n_wp + 9 * K + (7 if grad_suffix else 0))
+                    if grad_tex else 0)
     in_specs = [tile_spec(), tile_spec(), tile_spec()]
     inputs = [pix, fi, fj]
     if carry is not None:
-        inputs.append(carry.reshape(14, n_tiles * R, lane))
-        in_specs.append(pl.BlockSpec((14, R, lane), lambda i: (0, i, 0),
+        inputs.append(carry.reshape(n_carry, n_tiles * R, lane))
+        in_specs.append(pl.BlockSpec((n_carry, R, lane),
+                                     lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
-    out_specs = pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((3, n_tiles * R, lane), jnp.float32)
-    if cap:
-        out_specs = [out_specs,
-                     pl.BlockSpec((14, R, lane), lambda i: (0, i, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((14, n_tiles * R, lane),
-                                          jnp.float32)]
+    out_specs = [pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((3, n_tiles * R, lane), jnp.float32)]
     Tc_a = -(-NT_g // 128)
     Sc_a = -(-max(S, 1) // 128)
     Mc_a = -(-max(NM_full, 1) // 128)
     if grad_tex or adjoint:
-        # cotangent planes in the lane layout of the output; pad lanes get
-        # zero so the duplicated trailing pixel cannot double-count
-        g = jnp.moveaxis(cotangent.reshape(n_pix, 3), -1, 0)
-        g = jnp.zeros((3, n_tiles * rays_per_tile),
-                      jnp.float32).at[:, :n_pix].set(g)
+        if pix_lanes is not None:
+            # resumed compacted pass: the driver hands the cotangent
+            # already in (3, n_lanes) permuted-lane layout
+            g = cotangent
+        else:
+            # cotangent planes in the lane layout of the output; pad lanes
+            # get zero so the duplicated trailing pixel cannot double-count
+            g = jnp.moveaxis(cotangent.reshape(n_pix, 3), -1, 0)
+            g = jnp.zeros((3, n_tiles * rays_per_tile),
+                          jnp.float32).at[:, :n_pix].set(g)
         inputs.append(g.reshape(3, n_tiles * R, lane))
         in_specs.append(pl.BlockSpec((3, R, lane), lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
@@ -3329,12 +3365,20 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
             n_rows = 3 * Tc_a + 4 * Sc_a + 2 * Mc_a
         else:
             n_rows = (3 * NTc + K) if grad_suffix else n_wp + K
-        out_specs = [out_specs,
-                     pl.BlockSpec((1, n_rows, lane), lambda i: (i, 0, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((n_tiles, n_rows, lane),
-                                          jnp.float32)]
+        out_specs.append(
+            pl.BlockSpec((1, n_rows, lane), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles, n_rows, lane), jnp.float32))
+    if cap:
+        out_specs.append(
+            pl.BlockSpec((n_carry, R, lane), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_carry, n_tiles * R, lane),
+                                 jnp.float32))
+    if len(out_specs) == 1:
+        out_specs, out_shape = out_specs[0], out_shape[0]
     # SMEM tables go in TRANSPOSED, (cols, rows): Mosaic pads each SMEM-window
     # row to a full 512 B lane group, so (rows, cols) layout costs
     # rows x 512 B regardless of cols — 16-64x the data — and caps scenes at
@@ -3386,8 +3430,14 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         img = jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
         return img, grads
 
-    if grad_tex:
+    st = None
+    if grad_tex and cap:
+        out, dg, st = out
+    elif grad_tex:
         out, dg = out
+    elif cap:
+        out, st = out
+    if grad_tex:
         if grad_suffix:
             # suffix accumulator rows: lane = texture-row id, rows are
             # channel-major 128-wide chunks — sum tiles, unchunk, slice;
@@ -3401,11 +3451,12 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                       else jnp.zeros((NT_g, 3), jnp.float32))
             dg_hard = summed[n_wp:]
     if cap:
-        out, st = out
-        return (out.reshape(3, n_tiles * rays_per_tile),
-                st.reshape(14, n_tiles * rays_per_tile))
+        rad = out.reshape(3, n_tiles * rays_per_tile)
+        stf = st.reshape(n_carry, n_tiles * rays_per_tile)
+        return (rad, dg_tex, dg_hard, stf) if grad_tex else (rad, stf)
     if pix_lanes is not None:
-        return out.reshape(3, n_tiles * rays_per_tile)
+        rad = out.reshape(3, n_tiles * rays_per_tile)
+        return (rad, dg_tex, dg_hard) if grad_tex else rad
     img = out.reshape(3, n_tiles * rays_per_tile)[:, :n_pix]
     img = jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
     return (img, dg_tex, dg_hard) if grad_tex else img
@@ -3541,3 +3592,97 @@ def _render_pass_pallas_compacted(flat: FlatScene, cam, seed, sample_start, *,
     rad = rad.at[:, perm].add(r)
     img = rad[:, :n_pix]
     return jnp.moveaxis(img, 0, -1).reshape(height, width, 3)
+
+
+def render_pass_pallas_grad_compacted(flat: FlatScene, cam, seed,
+                                      sample_start, **kw):
+    """Public entry for the capped + compacted GRAD schedule (round 5,
+    VERDICT item 6): env knobs resolved outside jit, like the other
+    entries."""
+    kw.setdefault("_env", _kernel_env())
+    return _render_pass_pallas_grad_compacted(flat, cam, seed, sample_start,
+                                              **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
+                     "sky_gradient", "rows_per_tile", "interpret",
+                     "hard_slots", "light_src", "want_tex", "caps", "_env"))
+def _render_pass_pallas_grad_compacted(flat: FlatScene, cam, seed,
+                                       sample_start, *, width: int,
+                                       height: int, n_strata: int,
+                                       max_depth: int, n_samples: int,
+                                       cotangent, hard_slots: tuple = (),
+                                       light_src: tuple = (),
+                                       want_tex: bool = True,
+                                       sky_gradient: bool = False,
+                                       rows_per_tile: int | None = None,
+                                       interpret: bool = False, row0=0,
+                                       caps: tuple | None = None,
+                                       _env: tuple = None):
+    """Capped + lane-compacted schedule for the fused GRAD pass: same
+    straggler-recovery mechanics as render_pass_pallas_compacted, applied
+    to the forward-mode gradient kernel (weight-plane / tangent-bundle /
+    suffix tiers). The Wp/Dst/suffix path state rides the spilled carry
+    (rows 14..) through the compaction permutation; the Gp/dG/acc
+    cotangent accumulators are emitted per pass and summed here (they are
+    lane-sums, so the permutation cannot change them). Returns
+    (image, dG_tex, dG_hard) exactly like the single grad pass.
+
+    Measured motivation: the single-pass grad kernel spins each tile at
+    the forward's ~0.33 straggler-bound lane occupancy; the forward
+    recovered +38% from this schedule at spp100 (BASELINE.md)."""
+    if _env is None:
+        _env = _kernel_env()
+    if caps is None:
+        unroll = _kernel_modes(flat, _env)[0]
+        if not unroll:
+            caps = (max(2 * n_samples, 2),) * 2
+        elif width * height >= 1_000_000:
+            # measured on v5e Cornell 1080p spp64 d50 full-family: three
+            # short phases beat one 6.5x-spp cap 65.3 vs 51.7 Mpaths/s —
+            # at ~2M lanes the remaining-samples sort key pays off
+            # repeatedly, while at 600^2 (360K lanes) the single big cap
+            # still wins (48.5 vs 47.7)
+            caps = (max(2 * n_samples, max_depth),) * 3
+        else:
+            caps = (max(int(6.5 * n_samples), max_depth),)
+    common = dict(width=width, height=height, n_strata=n_strata,
+                  max_depth=max_depth, n_samples=n_samples,
+                  sky_gradient=sky_gradient, rows_per_tile=rows_per_tile,
+                  interpret=interpret, hard_slots=hard_slots,
+                  light_src=light_src, want_tex=want_tex, _env=_env)
+    n_pix = width * height
+    rad = dg_tex = dg_hard = st = None
+    for cap_i in caps:
+        if st is None:
+            r, dgt, dgh, st = render_pass_pallas(
+                flat, cam, seed, sample_start, row0=row0, cap=cap_i,
+                cotangent=cotangent, **common)
+            n_lanes = r.shape[1]
+            base = jnp.minimum(jnp.arange(n_lanes, dtype=jnp.int32),
+                               n_pix - 1)
+            pix_abs = base + jnp.asarray(row0, jnp.int32) * width
+            # identity-layout cotangent lanes for the resumed passes
+            g0 = jnp.moveaxis(cotangent.reshape(n_pix, 3), -1, 0)
+            g0 = jnp.zeros((3, n_lanes), jnp.float32).at[:, :n_pix].set(g0)
+            perm = jnp.arange(n_lanes, dtype=jnp.int32)
+            rad, dg_tex, dg_hard = r, dgt, dgh
+        else:
+            r, dgt, dgh, st = render_pass_pallas(
+                flat, cam, seed, sample_start, pix_lanes=pix_abs[perm],
+                carry=st, cap=cap_i, cotangent=g0[:, perm], **common)
+            rad = rad.at[:, perm].add(r)
+            dg_tex = dg_tex + dgt
+            dg_hard = dg_hard + dgh
+        key = jnp.where(st[0] > 0.5, n_samples - st[3], -1.0)
+        order = jnp.argsort(-key, stable=True)
+        perm = perm[order]
+        st = st[:, order]
+    r, dgt, dgh = render_pass_pallas(
+        flat, cam, seed, sample_start, pix_lanes=pix_abs[perm],
+        carry=st, cotangent=g0[:, perm], **common)
+    rad = rad.at[:, perm].add(r)
+    img = jnp.moveaxis(rad[:, :n_pix], 0, -1).reshape(height, width, 3)
+    return img, dg_tex + dgt, dg_hard + dgh

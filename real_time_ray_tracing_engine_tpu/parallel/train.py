@@ -202,14 +202,27 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
             # the smaller tile is consistently ~4% faster than the
             # forward's 32-row default on v5e (interleaved A/B, 1080p
             # spp64 full-family: 4.26 vs 4.43 s)
-            _, dg_tex, dg_hard = render_pass_pallas(
-                set_params(baked, params), cam, seed_f,
-                s0_f.astype(jnp.int32), width=width, height=h_local,
-                n_strata=n_strata, max_depth=max_depth, n_samples=spp_local,
+            grad_kw = dict(
+                width=width, height=h_local, n_strata=n_strata,
+                max_depth=max_depth, n_samples=spp_local,
                 sky_gradient=sky_gradient, interpret=interpret,
                 row0=row0_f.astype(jnp.int32), cotangent=g,
                 hard_slots=slots, light_src=light_src, want_tex=want_tex,
                 rows_per_tile=16)
+            if spp_local >= 8 and not interpret:
+                # capped + compacted schedule for the grad pass too
+                # (round-5 VERDICT item 6): same straggler recovery as
+                # the forward, with the Wp/Dst path state riding the
+                # spill carry
+                from ..ops.wavefront_pallas import \
+                    render_pass_pallas_grad_compacted
+                _, dg_tex, dg_hard = render_pass_pallas_grad_compacted(
+                    set_params(baked, params), cam, seed_f,
+                    s0_f.astype(jnp.int32), **grad_kw)
+            else:
+                _, dg_tex, dg_hard = render_pass_pallas(
+                    set_params(baked, params), cam, seed_f,
+                    s0_f.astype(jnp.int32), **grad_kw)
             dp = {}
             if want_tex:
                 dp["tex_color"] = dg_tex
