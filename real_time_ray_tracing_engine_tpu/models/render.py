@@ -229,6 +229,17 @@ def _fallback_to_jax(err: Exception) -> str:
     return "jax"
 
 
+@partial(jax.jit, static_argnames=("cols", "rows"))
+def _preview_bytes(acc, n_samples_f, cols: int, rows: int):
+    """(H, W, 3) accumulation -> (rows, cols, 3) uint8 preview on device
+    (nearest-neighbor select, then the reference gamma/clamp byte rule)."""
+    from ..utils.color import to_bytes
+    h, w, _ = acc.shape
+    yi = jnp.minimum((jnp.arange(rows) * h) // rows, h - 1)
+    xi = jnp.minimum((jnp.arange(cols) * w) // cols, w - 1)
+    return to_bytes(acc[yi[:, None], xi[None, :]] / n_samples_f)
+
+
 class ProgressiveRenderer:
     """Progressive accumulation with camera motion and checkpointing.
 
@@ -305,6 +316,21 @@ class ProgressiveRenderer:
 
     def image(self) -> jnp.ndarray:
         return self.acc / max(1, self.samples_taken)
+
+    def preview(self, cols: int, rows: int) -> np.ndarray:
+        """Terminal-resolution gamma-byte frame, downsampled ON DEVICE.
+
+        The interactive viewer only displays ~cols x rows cells, but
+        fetching the full 600^2 float image through the axon TPU tunnel
+        (~100 MB/s) costs ~40 ms/frame and capped the viewer at 8.6
+        steps/s (round-4 BASELINE.md). Nearest-neighbor-select + gamma on
+        device fetches rows*cols*3 BYTES instead (round-5 VERDICT item
+        5). Selection commutes with the per-pixel gamma/clamp, so the
+        frame equals _downsample(to_bytes(image()))."""
+        return np.asarray(_preview_bytes(
+            self.acc,
+            jnp.asarray(max(1, self.samples_taken), jnp.float32),
+            cols, rows))
 
     # ----------------------------------------------------- camera motion
     def move_camera(self, delta):

@@ -166,7 +166,11 @@ def run_viewer(scene, *, use_bvh: bool = False, seed: int = 0,
                 if adaptive and frames > 1:
                     ctrl.update(fps)
 
-                img = np.asarray(to_bytes(prog.image()))
+                # terminal-resolution frame computed ON DEVICE: fetching
+                # the full 600^2 float image cost ~40 ms/frame through the
+                # axon tunnel and capped the loop at 8.6 steps/s (round-5
+                # VERDICT item 5; measured table in BASELINE.md)
+                img = prog.preview(cols, view_rows * 2)
                 out.write("\x1b[H")           # cursor home
                 out.write(frame_to_ansi(img, cols, view_rows))
                 conv = " [Converged ✓]" if prog.converged else ""
