@@ -660,7 +660,14 @@ def _pack_vquad_tables(flat: FlatScene, primmat_q):
     return rows, qptab, qpmtab, qbox, Cq, C_qg
 
 
-LANE_BVH_MAX = 16383    # node/prim ids must fit 14 bits of the control word
+# Node/prim id bound for the per-lane kernel. The round-3 packed control
+# words capped ids at 14 bits (16,383); the round-4 table rewrite stores
+# miss/hit-offset/count as SEPARATE f32-exact fields (_pack_lane_tables),
+# so the only representability bound left is f32 integer exactness (2^24).
+# 2^22 leaves 4x headroom and admits the >16k-prim regime the mode was
+# built for (round-5 VERDICT item 4; >16k correctness re-validated against
+# the vscan kernel on a 32k-sphere grid, tests/test_bvh.py).
+LANE_BVH_MAX = 1 << 22
 
 
 NODE_FIELDS = 9         # x0 x1 y0 y1 z0 z1 miss hof cnt (lane node table)
@@ -3399,8 +3406,15 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     # default 16 MiB scoped-VMEM budget is ~3 MiB short at R=8, so raise the
     # kernel's limit (v5e has 128 MiB/core; 64 MiB leaves the double-buffered
     # tile pipeline plenty)
-    params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-              if (lane_mode or adjoint) else None)
+    # raise the 16 MiB scoped-VMEM default when the per-lane gather tables
+    # are big: lane mode keeps (R,128,nfp) gather scratch live across the
+    # traversal loop; the adjoint adds the per-bounce state store; vscan
+    # beyond ~16k prims carries >10 MiB of chunk/gather tables (vtab +
+    # ptab + pmtab ~ 200 B/prim) alongside the tile pipeline
+    big_tables = vscan_mode and C_v * VCHUNK >= 16384
+    params = (pltpu.CompilerParams(
+        vmem_limit_bytes=(100 if big_tables else 64) * 1024 * 1024)
+        if (lane_mode or adjoint or big_tables) else None)
     scratch = [pltpu.SMEM((BVH_STACK,), jnp.int32)]
     if adjoint:
         # phase-F per-bounce state store: 10 planes x max_depth slots,

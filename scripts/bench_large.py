@@ -148,9 +148,50 @@ def bench_sync(name, scene, *, use_bvh, depth, spp, R, reps=2):
           f"{mp:.2f} Mpaths/s ({dt*1e3:.0f} ms/{spp}-pass)", flush=True)
 
 
+def bigcheck(n=32):
+    """Correctness gate for the >16k regime (round-5 VERDICT item 4): the
+    lane-BVH and vscan kernels must render the same image on a 32k-sphere
+    grid (identical estimator, different traversal)."""
+    scene = grid_scene(n)
+    scene.camera.image_width = 120
+    scene.camera.samples_per_pixel = 4
+    flat = compile_scene(scene, use_bvh=True)
+    cam = cam_mod.derive(scene.camera)
+    w, h = cam_mod.image_size(scene.camera)
+    kw = dict(width=w, height=h, n_strata=2, max_depth=4, n_samples=4,
+              interpret=jax.default_backend() == "cpu")
+    assert os.environ.get("RTX_LANE_BVH") == "1", \
+        "run with RTX_LANE_BVH=1 (vscan reference rendered in-process)"
+    lane = np.asarray(render_pass_pallas(flat, cam, jnp.uint32(0), 0, **kw))
+    os.environ["RTX_LANE_BVH"] = "0"
+    ref = np.asarray(render_pass_pallas(flat, cam, jnp.uint32(0), 0, **kw))
+    os.environ["RTX_LANE_BVH"] = "1"
+    d = np.abs(lane - ref).max()
+    rate = np.isclose(lane, ref, rtol=1e-3, atol=1e-3).mean()
+    print(f"[bigcheck] grid{n ** 3} lane vs vscan: maxdiff {d:.2e} "
+          f"allclose-rate {rate:.4f}", flush=True)
+    assert rate > 0.999, rate
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    if which == "bigcheck":
+        bigcheck()
+    if which == "big":
+        # the >16k-prim regime (round-5 VERDICT item 4); RTX_LANE_BVH=1
+        # reruns the same scenes on the per-lane skip-link kernel
+        mode = "lane" if os.environ.get("RTX_LANE_BVH") == "1" else "vscan"
+        for n in (25, 32, 40):
+            bench(f"grid{n ** 3}/{mode}", grid_scene(n), use_bvh=True,
+                  depth=8, spp=9, R=R)
+    if which.startswith("bigc"):
+        mode = "lane" if os.environ.get("RTX_LANE_BVH") == "1" else "vscan"
+        ns = {"bigc": (25, 32, 40), "bigc25": (25,), "bigc32": (32,),
+              "bigc40": (40,)}[which]
+        for n in ns:
+            bench(f"grid{n ** 3}/{mode}+compacted", grid_scene(n),
+                  use_bvh=True, depth=8, spp=9, R=R, compacted=True)
     if which == "scanc":
         bench("bouncing/compacted",
               rt.builders.bouncing_spheres(image_width=400),

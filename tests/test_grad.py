@@ -1114,3 +1114,65 @@ def test_grad_compacted_matches_single_pass():
     np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tt1), np.asarray(tt2),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_adjoint_grad_vquad_city():
+    """Adjoint backward on a vquad-mode scene (>64 quads move to chunk
+    tables; the adjoint gathers the winner quad's plane eq as constant
+    planes and re-derives its t differentiably). Cross-checked against
+    the tangent-bundle + suffix kernels on the identical estimator, like
+    the vscan test."""
+    import real_time_ray_tracing_engine_tpu.ops.wavefront_pallas as wp
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+
+    rng = np.random.default_rng(3)
+    objs = []
+    for i in range(12):
+        x, z = rng.uniform(-10, 10, 2)
+        hgt = float(rng.uniform(1, 4))
+        albedo = tuple(map(float, rng.uniform(0.3, 0.9, 3)))
+        objs.append(rt.Box((x, 0, z), (x + 1.5, hgt, z + 1.5),
+                           rt.Lambertian(rt.SolidColor(albedo))))
+    objs.append(rt.Quad((-20, 0, -20), (40, 0, 0), (0, 0, 40),
+                        rt.Lambertian(rt.SolidColor((0.5, 0.5, 0.5)))))
+    objs.append(rt.Sphere((0, 2, 3), 1.2, rt.Metal((0.9, 0.8, 0.7), 0.2)))
+    objs.append(rt.Sphere((-3, 1.2, 1), 1.0,
+                          rt.Lambertian(rt.SolidColor((0.8, 0.3, 0.2)))))
+    scene = rt.Scene(objects=objs, camera=rt.CameraConfig(
+        image_width=16, aspect_ratio=1.0, samples_per_pixel=4, max_depth=4,
+        vfov=40, lookfrom=(14, 7, 14), lookat=(0, 1, 0),
+        sky_gradient=True))
+    flat = compile_scene(scene)
+    assert flat.quad_corner.shape[0] > wp.MAX_QUADS_VSCAN   # vquad regime
+    assert wp.pallas_adjoint_gate_reason(flat) is None
+    camd = cam_mod.derive(scene.camera)
+    w, h = cam_mod.image_size(scene.camera)
+    g = jnp.asarray(np.random.default_rng(8).normal(size=(h, w, 3)),
+                    jnp.float32)
+    seed = jnp.asarray(0, jnp.uint32)
+    kw = dict(width=w, height=h, n_strata=2, max_depth=4, n_samples=4,
+              sky_gradient=True, interpret=True)
+    img, grads = _adjoint_grads(flat, camd, seed, g, kw)
+    assert np.isfinite(np.asarray(img)).all()
+
+    from real_time_ray_tracing_engine_tpu.scene.flat import MAT_METAL
+    m_metal = int(np.where(np.asarray(flat.mat_type) == MAT_METAL)[0][0])
+    sph = int(np.where(np.asarray(flat.sph_active))[0][0])
+    slots = (("fuzz", m_metal), ("sphc", sph, 0), ("sphr", sph))
+    img0, dg_tex, dg_hard = wp.render_pass_pallas(
+        flat, camd, seed, 0, cotangent=g, hard_slots=slots,
+        light_src=wp.light_sphere_sources(flat), want_tex=True, **kw)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img0),
+                               atol=1e-5)
+    dg_hard = np.asarray(dg_hard)
+    vals = [float(np.asarray(grads["mat_fuzz"])[m_metal]),
+            float(np.asarray(grads["sph_center"])[sph, 0]),
+            float(np.asarray(grads["sph_radius"])[sph])]
+    for k, slot in enumerate(slots):
+        np.testing.assert_allclose(vals[k], dg_hard[k], rtol=1e-3,
+                                   atol=1e-4 * max(abs(dg_hard[k]), 1.0),
+                                   err_msg=str(slot))
+    np.testing.assert_allclose(np.asarray(grads["tex_color"]),
+                               np.asarray(dg_tex), rtol=1e-3, atol=1e-4)
+    # real signal on the box tex rows (quad winners route through vquad)
+    assert float(np.abs(np.asarray(dg_tex)).max()) > 0.05
