@@ -3189,7 +3189,11 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         # class scenes; 16 for vscan/stack-BVH scenes, where smaller tiles
         # make whole-tile chunk/node culling noticeably tighter; 8 for per-
         # lane traversal (smaller tiles bound the per-tile max step count)
-        rows_per_tile = 32 if unroll else (8 if lane_mode else 16)
+        # and for the adjoint (its per-sample two-phase loop runs
+        # max-path-length-over-the-tile iterations: bouncing full-family
+        # 1.30 -> 1.51 Mpaths/s at R=8 vs 16, measured round 5)
+        rows_per_tile = (8 if (adjoint or lane_mode)
+                         else 32 if unroll else 16)
     csph = jnp.zeros((1, 6), jnp.float32)
     ntab = jnp.zeros((8, 128), jnp.float32)
     ptab = jnp.zeros((8, 128), jnp.float32)
