@@ -191,7 +191,62 @@ def bench_fwd_bwd(depth=50, fwd_line=None):
         line["forward_metric"] = fwd_line["metric"]
         line["forward_value"] = fwd_line["value"]
         line["forward_vs_baseline"] = fwd_line["vs_baseline"]
+    try:
+        line["adjoint_metric"], line["adjoint_value"] = bench_adjoint_full()
+    except Exception as e:                      # never sink the headline
+        line["adjoint_error"] = f"{type(e).__name__}: {e}"[:160]
     print(json.dumps(line))
+
+
+def bench_adjoint_full():
+    """Round-5 capability metric: bouncing_spheres FULL-family fwd+bwd
+    (2,013 hard slots through the in-kernel adjoint backward — the
+    workload that previously fell to the ~600x pure-JAX replay)."""
+    import real_time_ray_tracing_engine_tpu as rt
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+    from real_time_ray_tracing_engine_tpu.parallel import train
+    from real_time_ray_tracing_engine_tpu.parallel.mesh import \
+        make_render_mesh
+    from real_time_ray_tracing_engine_tpu.scene.compile import compile_scene
+
+    w, h, n_strata, depth = 400, 225, 3, 50
+    spp = n_strata * n_strata
+    scene = rt.builders.bouncing_spheres()
+    scene.camera.image_width = w
+    scene.camera.aspect_ratio = w / h
+    flat = compile_scene(scene)
+    cam = cam_mod.derive(scene.camera)
+    render = train.make_kernel_render(
+        flat, mesh=make_render_mesh(), width=w, height=h,
+        n_strata=n_strata, max_depth=depth)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    params = train.get_params(flat)
+
+    @jax.jit
+    def loss_grad(params, seed_f):
+        def loss(p):
+            return jnp.mean((render(p, cam, seed_f) - target) ** 2)
+        return jax.value_and_grad(loss)(params)
+
+    reps = 2
+
+    @jax.jit
+    def chain(params):
+        def body(acc, i):
+            l, g = loss_grad(params, i.astype(jnp.float32) + 1.0)
+            return acc + l + g["sph_center"].sum() + g["tex_color"].sum(), \
+                None
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0),
+                              jnp.arange(reps, dtype=jnp.int32))
+        return acc
+    assert np.isfinite(np.asarray(chain(params)))     # compile + check
+    dt = math.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(chain(params))
+        dt = min(dt, (time.perf_counter() - t0) / reps)
+    return (f"bouncing_{w}x{h}_spp{spp}_d{depth}_fwd_bwd_full_params_"
+            "adjoint_2013_slots", round(w * h * spp / dt / 1e6, 4))
 
 
 if __name__ == "__main__":
