@@ -1075,20 +1075,20 @@ def test_grad_compacted_matches_single_pass():
     from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
 
     s = rt.builders.cornell_box()
-    s.camera.image_width = 24
+    s.camera.image_width = 20
     flat = compile_scene(s)
     camd = cam_mod.derive(s.camera)
     w, h = cam_mod.image_size(s.camera)
     g = jnp.asarray(np.random.default_rng(1).normal(size=(h, w, 3)),
                     jnp.float32)
     seed = jnp.asarray(0, jnp.uint32)
-    kw = dict(width=w, height=h, n_strata=4, max_depth=6, n_samples=16,
+    kw = dict(width=w, height=h, n_strata=3, max_depth=5, n_samples=9,
               interpret=True, hard_slots=wp.hard_param_slots(flat),
               light_src=wp.light_sphere_sources(flat), want_tex=True)
     img1, t1, h1 = wp.render_pass_pallas(flat, camd, seed, 0,
                                          cotangent=g, **kw)
     img2, t2, h2 = wp.render_pass_pallas_grad_compacted(
-        flat, camd, seed, 0, cotangent=g, caps=(20, 8), **kw)
+        flat, camd, seed, 0, cotangent=g, caps=(12, 6), **kw)
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5,
