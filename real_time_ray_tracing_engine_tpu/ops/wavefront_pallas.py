@@ -845,7 +845,7 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  P_n=1, cap=0, resume=False, NT_g=None,
                  lane_gather="take", deep_tex=False, C_t=1,
                  checker_depth=1, vquad_mode=False, C_q=1, C_qg=1,
-                 grad_adjoint=False, NM_g=None):
+                 grad_adjoint=False, NM_g=None, adj_seg=0):
     """grad_tex=True builds the fused forward+backward variant: alongside the
     radiance image it accumulates d<g, radiance>/d(theta) for trainable scene
     parameters by exact forward-mode differentiation, in two tiers:
@@ -2890,27 +2890,193 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                         accs[k] = accs[k] + red.reshape(1, 128)
                 return tuple(accs)
 
+            def bounce_ctx(b_f, k1, tm, ox, oy, oz, dx, dy, dz, alive):
+                """Discrete context for one bounce at per-lane (sample,
+                bounce) coordinates: b_f / k1 / tm are PLANES so the
+                segmented (regenerating) sweep can mix samples per lane."""
+                u = _draws(k0, k1, k2,
+                           jnp.uint32(0x4000000) + _f2u(b_f), N_DRAWS)
+                u_med = (_draws(k0, k1, k2,
+                                jnp.uint32(1_000_000) + _f2u(b_f), M)
+                         if M else ())
+                ctx = adj_ctx(ox, oy, oz, dx, dy, dz, tm, alive, u_med)
+                dins = (ctx["sph"][0], ctx["sph"][1], ctx["sph"][2],
+                        ctx["sph"][3], ctx["fuzz0"], ctx["ior0"],
+                        ctx["leaf"][0], ctx["leaf"][1], ctx["leaf"][2],
+                        *lth_vals)
+                return ctx, u, u_med, dins
+
+            def apply_vjp(lam, accs, ctx, u, u_med, tm, alive, dins, st9):
+                """jax.vjp of one bounce + cotangent scatters; returns
+                (d_st9, accs)."""
+                def fn(dins_, st9_):
+                    return adj_step(ctx, u, u_med, tm, alive,
+                                    dins_, st9_, False)
+
+                _, vjp = jax.vjp(fn, dins, st9)
+                d_dins, d_st9 = vjp((tuple(lam), (cg_r, cg_g, cg_b)))
+                (d_cx, d_cy, d_cz, d_rad, d_fz, d_io, d_lr, d_lg,
+                 d_lb, *d_lth) = d_dins
+                accs = scatter_rows(accs, 0, Tc_a, ctx["eff"],
+                                    [d_lr, d_lg, d_lb])
+                accs = scatter_rows(accs, 3 * Tc_a, Sc_a, ctx["origw"],
+                                    [d_cx, d_cy, d_cz, d_rad])
+                accs = scatter_rows(accs, 3 * Tc_a + 4 * Sc_a, Mc_a,
+                                    ctx["matid"], [d_fz, d_io])
+                if adj_light_slots:
+                    accs = list(accs)
+                    lane_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 128), 1)
+                    for k, (l, col, si) in enumerate(adj_light_slots):
+                        f = {1: 0, 2: 1, 3: 2, 7: 3}[col]
+                        row = 3 * Tc_a + f * Sc_a + si // 128
+                        oh = (lane_iota == (si % 128)).astype(jnp.float32)
+                        accs[row] = accs[row] + oh * d_lth[k]
+                    accs = tuple(accs)
+                return d_st9, accs
+
+            # ========== segmented-regeneration adjoint (round 5, late):
+            # instead of one synchronized two-phase loop per sample (which
+            # pays max-path-length-over-the-tile x 2 iterations per
+            # sample), run the REGENERATING wavefront — full lane
+            # occupancy, mixed samples per lane — checkpointing the carry
+            # every SEG iterations (sweep 1), then walk segments backward:
+            # restore a boundary, re-run its SEG iterations storing
+            # per-iteration records, reverse them with jax.vjp, and cut
+            # the lambda chain where a lane regenerated (the cotangent of
+            # where(regen, fresh_camera_ray, prev_state) w.r.t. prev is 0).
+            if adj_seg:
+                SEG = adj_seg
+                NSEG_MAX = -(-(n_samples * max_depth) // SEG) + 1
+                bd_base = SEG * 14 * R          # boundaries after records
+
+                def awf_advance(st, slot=None):
+                    """One regenerating wavefront iteration (the adjoint
+                    flavor of `bounce`): slot, when given, stores the
+                    post-regen iteration record (14 planes) for the
+                    reverse pass."""
+                    (ox, oy, oz, dx, dy, dz, thx, thy, thz, alive_f,
+                     b_f, s_f, tm, rx, ry, rz) = st
+                    regen = (alive_f < 0.5) & (s_f + 1.0 < n_samples)
+                    s_f = jnp.where(regen, s_f + 1.0, s_f)
+                    s_abs_f = sample_start_f + s_f
+                    gox, goy, goz, gdx0, gdy0, gdz0, gtm = gen_ray(
+                        s_abs_f)
+                    ox = jnp.where(regen, gox, ox)
+                    oy = jnp.where(regen, goy, oy)
+                    oz = jnp.where(regen, goz, oz)
+                    dx = jnp.where(regen, gdx0, dx)
+                    dy = jnp.where(regen, gdy0, dy)
+                    dz = jnp.where(regen, gdz0, dz)
+                    tm = jnp.where(regen, gtm, tm)
+                    thx = jnp.where(regen, 1.0, thx)
+                    thy = jnp.where(regen, 1.0, thy)
+                    thz = jnp.where(regen, 1.0, thz)
+                    b_f = jnp.where(regen, 0.0, b_f)
+                    alive = (alive_f > 0.5) | regen
+                    if slot is not None:
+                        base = slot * (14 * R)
+                        for f, pln in enumerate((
+                                ox, oy, oz, dx, dy, dz, thx, thy, thz,
+                                jnp.where(alive, zero + 1.0, zero),
+                                jnp.where(regen, zero + 1.0, zero),
+                                b_f, s_abs_f, tm)):
+                            store_ref[pl.ds(base + f * R, R), :] = pln
+                    ctx, u, u_med, dins = bounce_ctx(
+                        b_f, _f2u(s_abs_f), tm, ox, oy, oz, dx, dy, dz,
+                        alive)
+                    st9 = (ox, oy, oz, dx, dy, dz, thx, thy, thz)
+                    out9, dr3, aux = adj_step(ctx, u, u_med, tm, alive,
+                                              dins, st9, True)
+                    live_hit, scatters, skip_pdf, pdf_ok = aux
+                    b_f = b_f + 1.0
+                    alive_new = (live_hit & scatters
+                                 & (skip_pdf | pdf_ok)
+                                 & (b_f < max_depth))
+                    return out9 + (
+                        jnp.where(alive_new, zero + 1.0, zero), b_f, s_f,
+                        tm, rx + dr3[0], ry + dr3[1], rz + dr3[2])
+
+                # ---- sweep 1: forward with regeneration, one 13-plane
+                # boundary snapshot per segment; the primal image
+                # accumulates here
+                gox, goy, goz, gdx0, gdy0, gdz0, gtm = gen_ray(
+                    sample_start_f + zero)
+                st0 = (gox, goy, goz, gdx0, gdy0, gdz0,
+                       zero + 1.0, zero + 1.0, zero + 1.0,
+                       zero + 1.0, zero, zero, gtm,
+                       zero, zero, zero)
+
+                def s1_cond(c):
+                    nseg, st = c[0], c[1:]
+                    work = (st[9] > 0.5) | (st[11] + 1.0 < n_samples)
+                    return (jnp.sum(jnp.where(work, 1.0, 0.0)) > 0.0) \
+                        & (nseg < NSEG_MAX)
+
+                def s1_body(c):
+                    nseg, st = c[0], c[1:]
+                    base = bd_base + nseg * (13 * R)
+                    for f in range(13):
+                        store_ref[pl.ds(base + f * R, R), :] = st[f]
+                    st = jax.lax.fori_loop(
+                        0, SEG, lambda i, s: awf_advance(s), st)
+                    return (nseg + 1,) + st
+
+                outS = jax.lax.while_loop(s1_cond, s1_body,
+                                          (jnp.int32(0),) + st0)
+                nseg = outS[0]
+                rxA, ryA, rzA = outS[14], outS[15], outS[16]
+
+                # ---- sweep 2: segments in reverse; lambda carries across
+                # segment boundaries in registers
+                def rev_one(j, c):
+                    lam = c[:9]
+                    accs = c[9:]
+                    slot = SEG - 1 - j
+                    base = slot * (14 * R)
+                    pls = [store_ref[pl.ds(base + f * R, R), :]
+                           for f in range(14)]
+                    st9 = tuple(pls[:9])
+                    alive = pls[9] > 0.5
+                    regen = pls[10] > 0.5
+                    b_f, s_abs_f, tm = pls[11], pls[12], pls[13]
+                    ctx, u, u_med, dins = bounce_ctx(
+                        b_f, _f2u(s_abs_f), tm, *st9[:6], alive)
+                    d_st9, accs = apply_vjp(lam, accs, ctx, u, u_med,
+                                            tm, alive, dins, st9)
+                    lam = tuple(jnp.where(regen, 0.0, d) for d in d_st9)
+                    return lam + tuple(accs)
+
+                def s2_body(kk, c):
+                    k = nseg - 1 - kk
+                    base = bd_base + k * (13 * R)
+                    pls = [store_ref[pl.ds(base + f * R, R), :]
+                           for f in range(13)]
+                    st = tuple(pls) + (zero, zero, zero)
+                    st2 = jax.lax.fori_loop(
+                        0, SEG, lambda i, s: awf_advance(s, slot=i), st)
+                    # data-dependence tie: the re-run exists only for its
+                    # store_ref records — keep it from being DCE'd
+                    c = (c[0] + 0.0 * st2[12],) + tuple(c[1:])
+                    return jax.lax.fori_loop(0, SEG, rev_one, c)
+
+                carry2 = jax.lax.fori_loop(
+                    0, nseg, s2_body,
+                    tuple(zero for _ in range(9))
+                    + tuple(lz for _ in range(n_acc)))
+                out_ref[0] = rxA
+                out_ref[1] = ryA
+                out_ref[2] = rzA
+                dg_ref[0] = jnp.stack(
+                    [carry2[9 + k][0] for k in range(n_acc)])
+                return
+
             def sample_body(s, carry):
                 rx0, ry0, rz0 = carry[:3]
                 accs = carry[3:]
                 s_abs_f = sample_start_f + (zero + s.astype(jnp.float32))
                 k1 = _f2u(s_abs_f)
                 gox, goy, goz, gdx0, gdy0, gdz0, gtm = gen_ray(s_abs_f)
-
-                def bounce_ctx(b, ox, oy, oz, dx, dy, dz, alive):
-                    b_f = zero + b.astype(jnp.float32)
-                    u = _draws(k0, k1, k2,
-                               jnp.uint32(0x4000000) + _f2u(b_f), N_DRAWS)
-                    u_med = (_draws(k0, k1, k2,
-                                    jnp.uint32(1_000_000) + _f2u(b_f), M)
-                             if M else ())
-                    ctx = adj_ctx(ox, oy, oz, dx, dy, dz, gtm, alive,
-                                  u_med)
-                    dins = (ctx["sph"][0], ctx["sph"][1], ctx["sph"][2],
-                            ctx["sph"][3], ctx["fuzz0"], ctx["ior0"],
-                            ctx["leaf"][0], ctx["leaf"][1], ctx["leaf"][2],
-                            *lth_vals)
-                    return ctx, u, u_med, dins
 
                 # ---- phase F: forward trace, storing each bounce's input
                 # state (o, d, th, alive = 10 planes) at 8-aligned offsets
@@ -2923,7 +3089,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                         store_ref[pl.ds(base + f * R, R), :] = pln
                     alive = alive_f > 0.5
                     ctx, u, u_med, dins = bounce_ctx(
-                        b, ox, oy, oz, dx, dy, dz, alive)
+                        zero + b.astype(jnp.float32), k1, gtm,
+                        ox, oy, oz, dx, dy, dz, alive)
                     st9 = (ox, oy, oz, dx, dy, dz, thx, thy, thz)
                     out9, dr3, aux = adj_step(ctx, u, u_med, gtm, alive,
                                               dins, st9, True)
@@ -2957,36 +3124,11 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                      alive_f) = pls
                     alive = alive_f > 0.5
                     ctx, u, u_med, dins = bounce_ctx(
-                        b, ox, oy, oz, dx, dy, dz, alive)
+                        zero + b.astype(jnp.float32), k1, gtm,
+                        ox, oy, oz, dx, dy, dz, alive)
                     st9 = (ox, oy, oz, dx, dy, dz, thx, thy, thz)
-
-                    def fn(dins_, st9_):
-                        return adj_step(ctx, u, u_med, gtm, alive,
-                                        dins_, st9_, False)
-
-                    _, vjp = jax.vjp(fn, dins, st9)
-                    d_dins, d_st9 = vjp((tuple(lam),
-                                         (cg_r, cg_g, cg_b)))
-                    (d_cx, d_cy, d_cz, d_rad, d_fz, d_io, d_lr, d_lg,
-                     d_lb, *d_lth) = d_dins
-                    accs = scatter_rows(accs, 0, Tc_a, ctx["eff"],
-                                        [d_lr, d_lg, d_lb])
-                    accs = scatter_rows(accs, 3 * Tc_a, Sc_a,
-                                        ctx["origw"],
-                                        [d_cx, d_cy, d_cz, d_rad])
-                    accs = scatter_rows(accs, 3 * Tc_a + 4 * Sc_a, Mc_a,
-                                        ctx["matid"], [d_fz, d_io])
-                    if adj_light_slots:
-                        accs = list(accs)
-                        lane_iota = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, 128), 1)
-                        for k, (l, col, si) in enumerate(adj_light_slots):
-                            f = {1: 0, 2: 1, 3: 2, 7: 3}[col]
-                            row = 3 * Tc_a + f * Sc_a + si // 128
-                            oh = (lane_iota == (si % 128)).astype(
-                                jnp.float32)
-                            accs[row] = accs[row] + oh * d_lth[k]
-                        accs = tuple(accs)
+                    d_st9, accs = apply_vjp(lam, accs, ctx, u, u_med,
+                                            gtm, alive, dins, st9)
                     return d_st9 + tuple(accs)
 
                 carry2 = jax.lax.fori_loop(
@@ -3119,7 +3261,7 @@ def render_pass_pallas(flat: FlatScene, cam, seed, sample_start, **kw):
     static_argnames=("width", "height", "n_strata", "max_depth", "n_samples",
                      "sky_gradient", "rows_per_tile", "interpret",
                      "hard_slots", "light_src", "want_tex", "cap", "_env",
-                     "adjoint"))
+                     "adjoint", "adjoint_seg"))
 def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                         width: int, height: int, n_strata: int,
                         max_depth: int, n_samples: int,
@@ -3129,7 +3271,7 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
                         hard_slots: tuple = (), light_src: tuple = (),
                         want_tex: bool = True, cap: int = 0, carry=None,
                         pix_lanes=None, _env: tuple = None,
-                        adjoint: bool = False):
+                        adjoint: bool = False, adjoint_seg: int = 0):
     """Sum of n_samples stratified samples, (height, width, 3) — fused kernel.
 
     Drop-in replacement for models.render._render_pass (same RNG streams,
@@ -3336,7 +3478,7 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         lane_gather=_env[1], deep_tex=deep_tex, C_t=C_t,
         checker_depth=int(flat.checker_depth),
         vquad_mode=vquad_mode, C_q=C_q, C_qg=C_qg,
-        grad_adjoint=adjoint, NM_g=NM_full)
+        grad_adjoint=adjoint, NM_g=NM_full, adj_seg=adjoint_seg)
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
@@ -3420,7 +3562,13 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         vmem_limit_bytes=(100 if big_tables else 64) * 1024 * 1024)
         if (lane_mode or adjoint or big_tables) else None)
     scratch = [pltpu.SMEM((BVH_STACK,), jnp.int32)]
-    if adjoint:
+    if adjoint and adjoint_seg:
+        # segmented mode: SEG per-iteration records (14 planes each) +
+        # worst-case segment-boundary snapshots (13 planes each)
+        nseg_max = -(-(n_samples * max_depth) // adjoint_seg) + 1
+        scratch.append(pltpu.VMEM(
+            (adjoint_seg * 14 * R + nseg_max * 13 * R, lane), jnp.float32))
+    elif adjoint:
         # phase-F per-bounce state store: 10 planes x max_depth slots,
         # 8-aligned dynamic slices (R is a multiple of 8)
         scratch.append(pltpu.VMEM((max_depth * 10 * R, lane), jnp.float32))

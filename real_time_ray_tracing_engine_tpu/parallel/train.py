@@ -88,9 +88,21 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
     from ..ops.wavefront_pallas import MAX_GRAD_TEXS
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    import os
     grad_reason = pallas_grad_gate_reason(baked)
     scan_tex_reason = pallas_scan_grad_gate_reason(baked)
     adjoint_reason = pallas_adjoint_gate_reason(baked)
+    # adjoint sweep selection: the segmented-regeneration sweep (seg=8,
+    # full lane occupancy, lambda cut at stored regen boundaries) wins
+    # when paths can run DEEP — the per-sample two-phase loop pays
+    # max-path-length x 2 per sample (bouncing d50 full-family: 2.90 vs
+    # 1.48 Mpaths/s) — while at small max_depth the per-sample loop's
+    # bounded sync cost wins (grid-4913 d8: 0.72 vs 0.56). Default is
+    # depth-keyed; RTX_ADJOINT_SEG overrides (0 = per-sample loop),
+    # read at build time like the other gates.
+    env_seg = os.environ.get("RTX_ADJOINT_SEG")
+    adjoint_seg = (int(env_seg) if env_seg not in (None, "")
+                   else (8 if max_depth > 12 else 0))
     light_src = light_sphere_sources(baked)
     if (scan_tex_reason is None
             and baked.tex_color.shape[0] > MAX_GRAD_TEXS):
@@ -194,7 +206,8 @@ def make_kernel_render(baked: FlatScene, *, mesh, width, height, n_strata,
                 n_strata=n_strata, max_depth=max_depth, n_samples=spp_local,
                 sky_gradient=sky_gradient, interpret=interpret,
                 row0=row0_f.astype(jnp.int32), cotangent=g,
-                adjoint=True, light_src=light_src)
+                adjoint=True, adjoint_seg=adjoint_seg,
+                light_src=light_src)
             dp = {f: grads[f] for f in requested}
         elif fused_ok:
             # rows_per_tile=16 for the grad pass: the tangent-bundle /

@@ -1176,3 +1176,55 @@ def test_adjoint_grad_vquad_city():
                                np.asarray(dg_tex), rtol=1e-3, atol=1e-4)
     # real signal on the box tex rows (quad winners route through vquad)
     assert float(np.abs(np.asarray(dg_tex)).max()) > 0.05
+
+
+def test_adjoint_segmented_matches_per_sample():
+    """The segmented-regeneration adjoint sweep (round 5, late: full lane
+    occupancy, lambda chain cut at stored regeneration boundaries) must
+    reproduce the per-sample two-phase adjoint exactly — same per-(pixel,
+    sample, bounce) values, different orchestration — to float
+    reassociation noise, on a scene with every material family and a
+    sphere light."""
+    import real_time_ray_tracing_engine_tpu.ops.wavefront_pallas as wp
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+
+    rng = np.random.default_rng(21)
+    objs = []
+    for i in range(78):
+        c = tuple(map(float, rng.uniform(-4, 4, 3)))
+        albedo = tuple(map(float, rng.uniform(0.25, 0.9, 3)))
+        m = (rt.Metal(albedo, fuzz=0.25) if i % 9 == 0 else
+             rt.Dielectric(1.5) if i == 4 else
+             rt.Lambertian(rt.SolidColor(albedo)))
+        objs.append(rt.Sphere(c, 0.5, m))
+    light = rt.Sphere((0, 8, 0), 2.0,
+                      rt.DiffuseLight(rt.SolidColor((6., 6., 6.))))
+    objs.append(light)
+    scene = rt.Scene(objects=objs, lights=[light],
+                     camera=rt.CameraConfig(
+                         image_width=10, aspect_ratio=1.0,
+                         samples_per_pixel=4, max_depth=4, vfov=45,
+                         lookfrom=(0, 2, 11), lookat=(0, 0, 0),
+                         background=(0.3, 0.4, 0.6)))
+    flat = compile_scene(scene)
+    camd = cam_mod.derive(scene.camera)
+    w, h = cam_mod.image_size(scene.camera)
+    g = jnp.asarray(np.random.default_rng(5).normal(size=(h, w, 3)),
+                    jnp.float32)
+    seed = jnp.asarray(0, jnp.uint32)
+    ls = wp.light_sphere_sources(flat)
+    kw = dict(width=w, height=h, n_strata=2, max_depth=4, n_samples=4,
+              interpret=True)
+    img1, g1 = wp.render_pass_pallas(flat, camd, seed, 0, cotangent=g,
+                                     adjoint=True, light_src=ls, **kw)
+    # seg=6 deliberately does not divide any path length or sample count
+    img2, g2 = wp.render_pass_pallas(flat, camd, seed, 0, cotangent=g,
+                                     adjoint=True, adjoint_seg=6,
+                                     light_src=ls, **kw)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                               atol=1e-6)
+    for f in g1:
+        a, b = np.asarray(g1[f]), np.asarray(g2[f])
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-5 * max(np.abs(a).max(), 1.0),
+            err_msg=f)
