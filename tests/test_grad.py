@@ -1228,3 +1228,60 @@ def test_adjoint_segmented_matches_per_sample():
         np.testing.assert_allclose(
             a, b, rtol=1e-5, atol=1e-5 * max(np.abs(a).max(), 1.0),
             err_msg=f)
+
+
+def test_train_adjoint_tier_matches_direct_call():
+    """make_kernel_render must route a >32-slot geometry request through
+    the adjoint backward (round-5 tier policy) and produce exactly the
+    gradients of a direct render_pass_pallas(adjoint=True) call on the
+    same shard (1x1 mesh, identical estimator and sweep)."""
+    import real_time_ray_tracing_engine_tpu.ops.wavefront_pallas as wp
+    from real_time_ray_tracing_engine_tpu.models import camera as cam_mod
+    from real_time_ray_tracing_engine_tpu.parallel import train
+    from real_time_ray_tracing_engine_tpu.parallel.mesh import \
+        make_render_mesh
+
+    rng = np.random.default_rng(33)
+    objs = []
+    for i in range(78):
+        c = tuple(map(float, rng.uniform(-4, 4, 3)))
+        albedo = tuple(map(float, rng.uniform(0.25, 0.9, 3)))
+        objs.append(rt.Sphere(c, 0.5, rt.Lambertian(rt.SolidColor(albedo))))
+    light = rt.Sphere((0, 8, 0), 2.0,
+                      rt.DiffuseLight(rt.SolidColor((6., 6., 6.))))
+    objs.append(light)
+    scene = rt.Scene(objects=objs, lights=[light], camera=rt.CameraConfig(
+        image_width=12, aspect_ratio=1.0, samples_per_pixel=4, max_depth=3,
+        vfov=45, lookfrom=(0, 2, 11), lookat=(0, 0, 0),
+        background=(0.3, 0.4, 0.6)))
+    flat = compile_scene(scene)
+    requested = {"tex_color", "sph_center", "sph_radius"}
+    slots = wp.hard_param_slots(flat, requested - {"tex_color"})
+    assert len(slots) >= train.ADJOINT_MIN_SLOTS
+
+    mesh = make_render_mesh(1, 1, devices=jax.devices()[:1])
+    W, H = cam_mod.image_size(scene.camera)
+    cam = cam_mod.derive(scene.camera)
+    render = train.make_kernel_render(
+        flat, mesh=mesh, width=W, height=H, n_strata=2, max_depth=3)
+    g = jnp.asarray(rng.normal(size=(H, W, 3)), jnp.float32)
+    params = {k: v for k, v in train.get_params(flat).items()
+              if k in requested}
+
+    def loss(p):
+        return jnp.sum(render(p, cam, jnp.asarray(0.0)) * g)
+
+    dp = jax.jit(jax.grad(loss))(params)
+
+    _, grads = wp.render_pass_pallas(
+        flat, cam, jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32),
+        cotangent=g, adjoint=True,
+        light_src=wp.light_sphere_sources(flat), width=W, height=H,
+        n_strata=2, max_depth=3, n_samples=4, interpret=True)
+    # render_image averages over total_spp = 4; the direct pass returns
+    # the radiance SUM's gradients
+    for f in requested:
+        np.testing.assert_allclose(np.asarray(dp[f]),
+                                   np.asarray(grads[f]) / 4.0, rtol=1e-5,
+                                   atol=1e-5, err_msg=f)
+    assert float(np.abs(np.asarray(dp["sph_center"])).max()) > 1e-4
