@@ -52,7 +52,21 @@ Four intersection strategies, chosen statically by scene shape
     STACKLESS skip-link traversal via 128-lane dynamic gathers. The only
     mode whose work scales with what each RAY sees — but each gather costs
     O(table/128) vector selects, so it loses to vscan below ~10k prims
-    (measured round 4: 3.6 vs 10.5 Mpaths/s on bouncing-spheres).
+    (measured round 4: 3.6 vs 10.5 Mpaths/s on bouncing-spheres) and is
+    watchdog-unusable beyond ~15k (round 5, BASELINE.md).
+
+Backward passes (differentiable rendering — no reference analogue):
+  - forward-mode in-kernel gradients (grad_tex): exact tex_color weight
+    planes (<= MAX_GRAD_TEXS rows) or the O(1)-in-NT suffix-radiance
+    estimator, plus per-slot tangent bundles for fuzz/IOR/geometry; runs
+    under the capped+compacted schedule too
+    (render_pass_pallas_grad_compacted).
+  - ADJOINT reverse-mode in-kernel pass (adjoint=True, round 5): every
+    trainable family at O(1) per parameter, no slot cap — winner
+    selection detached outside jax.vjp, per-lane gathered values as diff
+    inputs, one-hot cotangent scatters; two sweep orchestrations
+    (per-sample two-phase, or the segmented-regeneration sweep via
+    adjoint_seg>0) that agree to reassociation noise.
 """
 from __future__ import annotations
 
