@@ -1,5 +1,11 @@
 """Wavefront-schedule throughput harness (single vs capped+compacted).
 
+SUPERSEDED for absolute numbers (round 5): this harness still fetches the
+accumulated IMAGE per chain (~40 ms through the axon tunnel), so its
+values undercount the kernel; use `python bench.py` (scalar-fetch
+chained) for recorded throughput. Kept for quick A/B of schedule SHAPES,
+where the constant fetch cost cancels.
+
 Methodology note (round 3): under the axon TPU tunnel a per-rep host fetch
 costs ~40 ms and buries the kernel time, so each variant runs REPS passes
 device-side inside one jitted lax.scan and fetches once; reported Mpaths/s

@@ -1,6 +1,13 @@
 """Dev harness for the adjoint backward: small vscan scene, interpret mode,
 compare render_pass_pallas(adjoint=True) grads vs jax.vjp of the pure-JAX
-replay of the identical estimator."""
+replay of the identical estimator.
+
+CAVEAT (kept for the audit trail): the replay comparison can legitimately
+"fail" at kernel-vs-oracle grazing-hit winner disagreements (the vscan
+selection fuzz) — kernel-FD confirms the adjoint is exact for the
+kernel's own estimator at such lanes. The authoritative validations live
+in tests/test_grad.py (adjoint vs the FD-anchored tangent/suffix kernels
+over the SAME selection)."""
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np
