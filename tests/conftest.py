@@ -1,6 +1,15 @@
 """Test configuration: force a real CPU backend with 8 virtual devices so
 sharding tests run without TPU hardware (SURVEY.md §4: jax.make_mesh on CPU).
 
+RUNNER NOTE: run the heavy interpret-mode files in SEPARATE pytest
+processes (e.g. `pytest tests/ --ignore=tests/test_pallas.py
+--ignore=tests/test_grad.py`, then `pytest tests/test_grad.py`, then
+`pytest tests/test_pallas.py`). A single long process slows down
+pathologically after ~40 min of accumulated interpret-mode executables
+(measured round 5: the same tests pass in 7+3 min as separate processes
+after timing out combined); the persistent compilation cache below makes
+the split nearly free.
+
 The axon sitecustomize registers the TPU-tunnel backend at interpreter start
 and force-sets jax_platforms="axon,cpu"; we override it back to plain CPU
 *before* any backend is instantiated, otherwise every test compile goes
