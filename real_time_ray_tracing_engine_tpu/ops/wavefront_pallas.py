@@ -457,7 +457,8 @@ def _kernel_env() -> tuple:
     kernel compiled under the old setting (round-3 ADVICE item 1)."""
     return (os.environ.get("RTX_LANE_BVH", "0"),
             os.environ.get("RTX_LANE_GATHER", "take"),
-            os.environ.get("RTX_BVH_STACK", "0"))
+            os.environ.get("RTX_BVH_STACK", "0"),
+            os.environ.get("RTX_VSCAN_CULL", "cond"))
 
 
 def _kernel_modes(flat: FlatScene, env=None):
@@ -476,7 +477,7 @@ def _kernel_modes(flat: FlatScene, env=None):
     quad-heavy scenes take vquad chunk tables, BASELINE.md)."""
     if env is None:
         env = _kernel_env()
-    lane_bvh, _gather, bvh_stack = env
+    lane_bvh, _gather, bvh_stack = env[:3]
     S = flat.sph_center.shape[0]
     Q = flat.quad_corner.shape[0]
     unroll = _use_unrolled(S, Q, flat.mat_type.shape[0],
@@ -859,7 +860,8 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                  P_n=1, cap=0, resume=False, NT_g=None,
                  lane_gather="take", deep_tex=False, C_t=1,
                  checker_depth=1, vquad_mode=False, C_q=1, C_qg=1,
-                 grad_adjoint=False, NM_g=None, adj_seg=0):
+                 grad_adjoint=False, NM_g=None, adj_seg=0,
+                 vscan_cull="cond"):
     """grad_tex=True builds the fused forward+backward variant: alongside the
     radiance image it accumulates d<g, radiance>/d(theta) for trainable scene
     parameters by exact forward-mode differentiation, in two tiers:
@@ -1492,11 +1494,15 @@ def _make_kernel(*, S, Q, L, NM, NT, M, R, width, n_pix, n_strata, max_depth,
                         jnp.where(better, c + izero, bc))
 
             def chunk_body_static(c, cr):
+                if vscan_cull == "none":
+                    return chunk_hits(c, cr, False)
                 return jax.lax.cond(box_any(c, cr[0]),
                                     lambda cr_: chunk_hits(c, cr_, False),
                                     lambda cr_: cr_, cr)
 
             def chunk_body_moving(c, cr):
+                if vscan_cull == "none":
+                    return chunk_hits(c, cr, vscan_motion)
                 return jax.lax.cond(box_any(c, cr[0]),
                                     lambda cr_: chunk_hits(
                                         c, cr_, vscan_motion),
@@ -3492,7 +3498,8 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
         lane_gather=_env[1], deep_tex=deep_tex, C_t=C_t,
         checker_depth=int(flat.checker_depth),
         vquad_mode=vquad_mode, C_q=C_q, C_qg=C_qg,
-        grad_adjoint=adjoint, NM_g=NM_full, adj_seg=adjoint_seg)
+        grad_adjoint=adjoint, NM_g=NM_full, adj_seg=adjoint_seg,
+        vscan_cull=(_env[3] if len(_env) > 3 else "cond"))
 
     tile_spec = lambda: pl.BlockSpec((R, lane), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
