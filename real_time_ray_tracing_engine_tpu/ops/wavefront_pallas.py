@@ -3310,6 +3310,14 @@ def _render_pass_pallas(flat: FlatScene, cam, seed, sample_start, *,
     hard_param_slots / light_sphere_sources. Unrolled-mode scenes only (use
     supports_pallas_grad to gate).
 
+    adjoint=True (round 5; requires cotangent, gate with
+    pallas_adjoint_gate_reason): the reverse-mode in-kernel backward
+    instead — returns (image, grads) with grads a dict over ALL of
+    tex_color/sph_center/sph_radius/mat_fuzz/mat_ior, O(1) per parameter,
+    no slot cap (hard_slots/want_tex are ignored). adjoint_seg > 0 selects
+    the segmented-regeneration sweep with that segment length (identical
+    gradients to the per-sample sweep; faster at large max_depth).
+
     Capped/compacted scheduling (render_pass_pallas_compacted drives this;
     forward-only):
       cap > 0: stop the wavefront loop after `cap` bounce iterations and
