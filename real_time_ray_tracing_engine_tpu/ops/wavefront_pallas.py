@@ -3849,6 +3849,11 @@ def _render_pass_pallas_grad_compacted(flat: FlatScene, cam, seed,
                   interpret=interpret, hard_slots=hard_slots,
                   light_src=light_src, want_tex=want_tex, _env=_env)
     n_pix = width * height
+    if caps == ():
+        # zero capped phases = one plain uncapped grad pass (same contract
+        # as the forward driver's empty-tuple case)
+        return render_pass_pallas(flat, cam, seed, sample_start, row0=row0,
+                                  cotangent=cotangent, **common)
     rad = dg_tex = dg_hard = st = None
     for cap_i in caps:
         if st is None:
